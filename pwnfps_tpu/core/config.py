@@ -1,0 +1,72 @@
+"""Engine configuration.
+
+The reference engine (/root/reference/defs.h:1-23) hardcodes everything as
+compile-time #defines.  Here the same knobs are a frozen dataclass whose
+fields are passed as *static* arguments into the jitted render path, so XLA
+still sees compile-time constants.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+# --- constants mirrored from the reference operating point -----------------
+# /root/reference/defs.h:1   EPSILON
+EPSILON = 1e-13
+# /root/reference/defs.h:6   REFLECT_BLUR
+REFLECT_BLUR = 0.03
+# /root/reference/defs.h:7   PLAYER_BBOX
+PLAYER_BBOX = 0.2
+# /root/reference/defs.h:8   REFLECT (max bounce depth)
+REFLECT = 2
+# /root/reference/defs.h:9   POSTPROC_BLUR passes
+POSTPROC_BLUR = 1
+# /root/reference/defs.h:11-15 default internal res + integer upscale
+DEF_SCALE = 3
+DEF_RWIDTH = 320
+DEF_RHEIGHT = 200
+# /root/reference/trace.h:247 DDA step budget per ray segment
+MAXSTEPS = 1000
+
+# Palette (b, g, r) float triples - /root/reference/defs.h:17-19.
+# The reference keeps colours in SSE lanes ordered (b, g, r, a); we keep the
+# same channel order end-to-end and only swap to RGB when exporting images.
+COL_CEIL = (30.0, 30.0, 0.0)
+COL_FLOOR = (1.0, 1.0, 1.0)
+COL_WALL = (0.8, 0.8, 1.0)
+# wrong-endpoint portal debug colour - /root/reference/trace.h:558
+COL_MAGENTA = (5.0, 0.0, 5.0)
+
+# Face direction codes - /root/reference/defs.h:25-33.  The X/Z face codes
+# live in 0..3 so a quarter-turn portal rotation is `(ldir - rot) & 3`
+# (/root/reference/trace.h:576).
+FXP = 0
+FZP = 1
+FXN = 2
+FZN = 3
+FYP = 4
+FYN = 5
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static render parameters (hashable: usable as a jit static arg)."""
+
+    width: int = DEF_RWIDTH
+    height: int = DEF_RHEIGHT
+    scale: int = DEF_SCALE
+    reflect: int = REFLECT          # bounce depth cap (number of extra waves)
+    maxsteps: int = MAXSTEPS        # DDA trip budget per segment
+    reflect_blur: float = REFLECT_BLUR
+    postproc_blur: int = POSTPROC_BLUR
+    # parity=True reproduces the reference's approximate SSE intrinsics
+    # (rsqrt/rcp lookup tables) and serial ray-offset accumulation for
+    # pixel-exact comparison; parity=False uses the fast TPU-native math.
+    parity: bool = False
+    # DDA steps executed per early-exit check in the batched tracer.
+    step_chunk: int = 16
+
+    @property
+    def n_waves(self) -> int:
+        # primary segment + up to `reflect` bounce segments
+        return self.reflect + 1

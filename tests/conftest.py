@@ -1,0 +1,14 @@
+"""Test environment: run JAX on a virtual 8-device CPU mesh.
+
+Real-TPU tests live behind the PWNFPS_TPU_TESTS=1 env switch (the CI/test
+default must be green without hardware).  Must run before jax imports.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
