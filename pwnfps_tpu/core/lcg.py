@@ -31,7 +31,10 @@ A = np.uint32(25739)
 C = np.uint32(4)
 MASK31 = np.uint32(0x7FFFFFFF)
 MOD_U = np.uint32(3759)
-MOD_F = np.float32(3759.0)
+# The reference builds with -ffast-math, which compiles `x / 3759.0f` into
+# `x * (1.0f/3759.0f)` (verified bit-for-bit against the compiled oracle,
+# tools/oracle harness `rng` mode).  We reproduce the multiply form.
+INV_MOD_F = np.float32(1.0) / np.float32(3759.0)
 
 
 def randi(seed):
@@ -42,9 +45,9 @@ def randi(seed):
 
 
 def randfu(seed, np_mod=np):
-    """Uniform in [0,1): (randi % 3759) / 3759.0f. Returns (seed, f32)."""
+    """Uniform in [0,1): (randi % 3759) * (1/3759.0f). Returns (seed, f32)."""
     seed, v = randi(seed)
-    f = (v % MOD_U).astype(np_mod.float32) / MOD_F
+    f = (v % MOD_U).astype(np_mod.float32) * INV_MOD_F
     return seed, f
 
 

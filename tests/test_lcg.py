@@ -19,13 +19,22 @@ def test_randi_matches_reference_semantics():
 
 
 def test_randfu_randfs_values():
-    s = np.uint32(12345)
-    s, f = lcg.randfu(s)
-    si, v = ref_randi(12345)
-    assert f == np.float32(v % 3759) / np.float32(3759.0)
-    s2 = np.uint32(12345)
-    s2, g = lcg.randfs(s2)
-    assert g == f * np.float32(2.0) - np.float32(1.0)
+    # golden bits from `oracle rng 3039 8` (gcc -O3 -ffast-math build of
+    # the reference util.h): state, randfu bits, state, randfs bits
+    golden = [
+        (0x12F072F7, 0x3F6AD1E4, 0x3F55A3C8),
+        (0x3576E821, 0x3EAC2A39, 0xBEA7AB8E),
+        (0x7A3CEDEF, 0x3E4E376F, 0xBF18E448),
+        (0x2C068CC9, 0x3F0C052D, 0x3DC052D0),
+    ]
+    su = np.uint32(0x3039)
+    ss = np.uint32(0x3039)
+    for state, fu_bits, fs_bits in golden:
+        su, fu = lcg.randfu(su)
+        ss, fs = lcg.randfs(ss)
+        assert int(su) == state and int(ss) == state
+        assert fu.view(np.uint32) == np.uint32(fu_bits)
+        assert fs.view(np.uint32) == np.uint32(fs_bits)
 
 
 def test_jump_matches_serial():
