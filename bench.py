@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Benchmark: frames/sec at 1080p on one TPU chip (fast mode).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline target: 240 fps @1080p on 1x TPU v5e (BASELINE.json north_star).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pwnfps_tpu.core.approx import SseTables
+    from pwnfps_tpu.core.config import RenderConfig
+    from pwnfps_tpu.ops import worlddev as W
+    from pwnfps_tpu.render.camera import camera_vectors, mat4_identity, \
+        mat4_roty
+    from pwnfps_tpu.render.frame import render_frame
+    from pwnfps_tpu.world.levelc import load_level
+    from pwnfps_tpu.world.objects import ObjectPool
+
+    width, height = 1920, 1080
+    frames = int(os.environ.get("PWNFPS_BENCH_FRAMES", "16"))
+
+    ref_level = "/root/reference/level.txt"
+    level_path = ref_level if os.path.exists(ref_level) else os.path.join(
+        os.path.dirname(__file__), "assets", "levels", "demo.txt")
+    lv = load_level(level_path)
+
+    # the standard 14-sphere creature scene (game.lua:1-30)
+    opos = [(0.0, 0.0, 0.0, 0.3, 0.8, 0.8, 0.8, 0.6),
+            (0.0, 0.3, 0.0, 0.1, 0.4, 0.4, 0.4, 0.2),
+            (0.3, 0.0, 0.0, 0.1, 0.7, 0.7, 1.0, 0.4),
+            (0.0, 0.0, 0.3, 0.1, 0.7, 1.0, 0.7, 0.4),
+            (-0.3, 0.0, 0.0, 0.1, 1.0, 0.7, 0.7, 0.4),
+            (0.0, 0.0, -0.3, 0.1, 0.5, 1.0, 1.0, 0.4),
+            (0.3, 0.0, 0.1, 0.03, 0.4, 0.4, 0.4, 0.2),
+            (0.1, 0.0, 0.3, 0.03, 0.4, 0.4, 0.4, 0.2),
+            (-0.3, 0.0, 0.1, 0.03, 0.4, 0.4, 0.4, 0.2),
+            (0.1, 0.0, -0.3, 0.03, 0.4, 0.4, 0.4, 0.2),
+            (0.3, 0.0, -0.1, 0.03, 0.4, 0.4, 0.4, 0.2),
+            (-0.1, 0.0, 0.3, 0.03, 0.4, 0.4, 0.4, 0.2),
+            (-0.3, 0.0, -0.1, 0.03, 0.4, 0.4, 0.4, 0.2),
+            (-0.1, 0.0, -0.3, 0.03, 0.4, 0.4, 0.4, 0.2)]
+    bx, by, bz = (9.5, 0.3, 5.5) if level_path == ref_level \
+        else (3.5, 0.3, 5.5)
+    pool = ObjectPool()
+    for (x, y, z, r, b, g, rr, refl) in opos:
+        i = pool.obj_new()
+        pool.obj_set_sphere(i, r, refl, bx + x, by + y, bz + z, b, g, rr)
+    sph = pool.prepare_render()
+
+    tables = SseTables.load()
+    static_word = W.pack_static_word(lv)
+    world, meta = W.build_world(lv, sph, tables, static_word)
+    world = jax.tree.map(jnp.asarray, world)
+    cfg = RenderConfig(width=width, height=height, parity=False)
+
+    cam = mat4_identity()
+    sx, sz = lv.spawn
+    cam[3, :3] = (sx + 0.5, 0.5, sz + 0.5)
+
+    def frame_args(k):
+        c = cam.copy()
+        mat4_roty(c, 0.07 * k)
+        origin, rayb, rdx, rdy = camera_vectors(c, width, height)
+        return (jnp.asarray(origin), jnp.asarray(rayb), jnp.asarray(rdx),
+                jnp.asarray(rdy), np.float32(0.016 * k))
+
+    # warmup / compile
+    fb, zb = render_frame(world, meta, cfg, *frame_args(0))
+    np.asarray(fb)
+
+    # NB: time with a forced host readback per frame - on the axon
+    # platform block_until_ready() has been observed returning before
+    # execution finishes, and a real renderer DMAs the framebuffer out
+    # every frame anyway.
+    args = [frame_args(k) for k in range(frames)]
+    t0 = time.perf_counter()
+    for a in args:
+        fb, zb = render_frame(world, meta, cfg, *a)
+        np.asarray(fb)
+    dt = time.perf_counter() - t0
+    fps = frames / dt
+
+    print(json.dumps({
+        "metric": "fps@1080p",
+        "value": round(fps, 2),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / 240.0, 4),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

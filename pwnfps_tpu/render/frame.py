@@ -1,0 +1,93 @@
+"""Frame renderer: one jitted device call per frame.
+
+The reference's trace_screen_centred (screen.h:31-124) - OpenMP scanline
+fan-out, per-pixel seeds, trace, DoF blur - becomes:
+
+  ray gen -> wavefront trace (3 bounce waves) -> quantize -> DoF blur
+
+all inside a single jit.  Parity mode reproduces the reference's serial
+ray-offset accumulation per 32-pixel tile (the `rayl += rdx` off-by-one
+and its floating-point drift, screen.h:6-24); fast mode generates rays
+closed-form.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import lcg
+from ..core.config import RenderConfig
+from ..ops import worlddev as W
+from ..ops.blur import dof_blur
+from ..ops.tracer_jnp import col_ftoint, trace_wave
+from ..ops.vec import V3
+
+F32 = jnp.float32
+
+
+def gen_rays(rayb, rdx, rdy, width: int, height: int, parity: bool) -> V3:
+    """Per-pixel ray directions as V3 of [h*w] arrays.
+
+    Pixel (x, y) uses rayb + y*rdy + (x+1)*rdx; in parity mode the x term
+    is accumulated serially within each 32-wide tile, replaying the
+    reference's float drift (screen.h:12-24)."""
+    ys = jnp.arange(height, dtype=jnp.int32).astype(F32)
+    if not parity:
+        xs = jnp.arange(1, width + 1, dtype=jnp.int32).astype(F32)
+
+        def comp(i):
+            v = (rayb[i] + ys[:, None] * rdy[i]) + xs[None, :] * rdx[i]
+            return v.reshape(-1)
+
+        return V3(comp(0), comp(1), comp(2))
+    tiles = -(-width // 32)
+    tx = (jnp.arange(tiles, dtype=jnp.int32) * 32).astype(F32)
+
+    def comp(i):
+        base = (rayb[i] + ys[:, None] * rdy[i]) + tx[None, :] * rdx[i]
+
+        def step(carry, _):
+            nxt = carry + rdx[i]
+            return nxt, nxt
+
+        _, seq = jax.lax.scan(step, base, None, length=32)  # [32,h,tiles]
+        v = jnp.transpose(seq, (1, 2, 0)).reshape(height, tiles * 32)
+        return v[:, :width].reshape(-1)
+
+    return V3(comp(0), comp(1), comp(2))
+
+
+@partial(jax.jit, static_argnames=("meta", "cfg"))
+def render_frame(world: W.WorldDev, meta: W.WorldMeta, cfg: RenderConfig,
+                 origin, rayb, rdx, rdy, sec):
+    """-> (framebuffer [h,w] uint32 BGRA, zbuf [h,w] f32)."""
+    h, w = cfg.height, cfg.width
+    rays = gen_rays(rayb, rdx, rdy, w, h, cfg.parity)
+    n = h * w
+    xs = jnp.arange(w, dtype=jnp.uint32)
+    ys = jnp.arange(h, dtype=jnp.uint32)
+    seeds = lcg.pixel_seed(xs[None, :], ys[:, None], w).reshape(-1)
+    ifrom = V3(jnp.broadcast_to(origin[0], (n,)),
+               jnp.broadcast_to(origin[1], (n,)),
+               jnp.broadcast_to(origin[2], (n,)))
+    col4, dist = trace_wave(world, meta, cfg, ifrom, rays, seeds, sec)
+    fb = col_ftoint(col4).reshape(h, w)
+    zbuf = dist.reshape(h, w)
+    if cfg.postproc_blur:
+        fb = dof_blur(fb, zbuf, cfg.postproc_blur)
+    return fb, zbuf
+
+
+def upscale(fb: np.ndarray, scale: int) -> np.ndarray:
+    """Nearest-neighbour integer upscale (screen.h:126-149), host-side."""
+    return np.repeat(np.repeat(fb, scale, axis=0), scale, axis=1)
+
+
+def fb_to_rgb(fb: np.ndarray) -> np.ndarray:
+    """uint32 BGRA framebuffer -> [h,w,3] uint8 RGB for export."""
+    px = np.ascontiguousarray(fb).view(np.uint8).reshape(*fb.shape, 4)
+    return px[..., [2, 1, 0]]

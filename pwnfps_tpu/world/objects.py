@@ -26,7 +26,7 @@ T_FREE = 1
 T_SPHERE = 2
 
 NS_MAX = 64          # static sphere-count bound for the device arrays
-K_BUCKET = 16        # static per-cell bucket capacity
+K_BUCKET = 15        # static per-cell bucket capacity (4-bit packed count)
 
 
 @dataclasses.dataclass

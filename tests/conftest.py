@@ -6,9 +6,15 @@ default must be green without hardware).  Must run before jax imports.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+# the flag alone does not take effect on this jax version; the config
+# API does (must run before backend initialization)
+jax.config.update("jax_num_cpu_devices", 8)

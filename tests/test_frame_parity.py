@@ -1,0 +1,83 @@
+"""Full-frame differential: jnp renderer (CPU backend) vs the compiled
+reference.  Residual diffs come only from transcendental/div/sqrt ULPs
+(XLA vs glibc/SSE); geometry, RNG, quantization and blur are exact, so we
+require near-total pixel agreement with channel delta <= 1."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pwnfps_tpu.core.approx import SseTables
+from pwnfps_tpu.core.config import RenderConfig
+from pwnfps_tpu.ops import worlddev as W
+from pwnfps_tpu.render.camera import camera_vectors, mat4_identity, \
+    mat4_roty
+from pwnfps_tpu.render.frame import render_frame
+from pwnfps_tpu.utils import oracle
+from pwnfps_tpu.world.levelc import load_level
+
+from .test_tracer_scalar import REF_LEVEL, make_spheres
+
+pytestmark = pytest.mark.skipif(not oracle.available(),
+                                reason="reference checkout unavailable")
+
+W_, H_ = 96, 64
+
+
+@pytest.fixture(scope="module")
+def setup():
+    lv = load_level(REF_LEVEL)
+    sph, sph8 = make_spheres()
+    world, meta = W.build_world(lv, sph, SseTables.load())
+    world = jax.tree.map(jnp.asarray, world)
+    return lv, world, meta, sph8
+
+
+def _run(lv, world, meta, sph8, cam, sec, blur):
+    cfg = RenderConfig(width=W_, height=H_, parity=True,
+                       postproc_blur=1 if blur else 0)
+    origin, rayb, rdx, rdy = camera_vectors(cam, W_, H_)
+    fb, zb = render_frame(world, meta, cfg, jnp.asarray(origin),
+                          jnp.asarray(rayb), jnp.asarray(rdx),
+                          jnp.asarray(rdy), np.float32(sec))
+    fb = np.ascontiguousarray(np.asarray(fb))
+    zb = np.asarray(zb)
+    gold, goldz = oracle.render_frames(
+        REF_LEVEL, [dict(sec=sec, cam=cam, spheres=sph8)], W_, H_,
+        blur=blur)
+    return fb, zb, gold[0], goldz[0]
+
+
+def _check(fb, gold, min_agree=0.995, max_delta=1):
+    agree = (fb == gold).mean()
+    a8 = fb.view(np.uint8).astype(np.int16)
+    b8 = np.ascontiguousarray(gold).view(np.uint8).astype(np.int16)
+    delta = np.abs(a8 - b8).max()
+    assert agree >= min_agree, f"pixel agreement {agree:.4%}"
+    assert delta <= max_delta, f"max channel delta {delta}"
+
+
+def test_frame_spawn_with_blur(setup):
+    lv, world, meta, sph8 = setup
+    cam = mat4_identity()
+    sx, sz = lv.spawn
+    cam[3, :3] = (sx + 0.5, 0.5, sz + 0.5)
+    fb, zb, gold, goldz = _run(lv, world, meta, sph8, cam, 1.25, True)
+    _check(fb, gold)
+
+
+def test_frame_rotated_no_blur(setup):
+    lv, world, meta, sph8 = setup
+    cam = mat4_identity()
+    sx, sz = lv.spawn
+    cam[3, :3] = (sx + 0.5, 0.5, sz + 0.5)
+    mat4_roty(cam, 2.2)
+    fb, zb, gold, goldz = _run(lv, world, meta, sph8, cam, 7.5, False)
+    _check(fb, gold)
+    # zbuf: bit-exact wherever no sphere/div ULP is involved; everywhere
+    # else within 1e-4 relative
+    rel = np.abs(zb - goldz) / np.maximum(np.abs(goldz), 1e-3)
+    assert (zb.view(np.uint32) == goldz.view(np.uint32)).mean() > 0.80
+    assert rel.max() < 1e-3
