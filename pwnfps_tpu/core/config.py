@@ -63,6 +63,9 @@ class RenderConfig:
     # (rsqrt/rcp lookup tables) and serial ray-offset accumulation for
     # pixel-exact comparison; parity=False uses the fast TPU-native math.
     parity: bool = False
+    # backend: "jnp" (XLA, the reference/parity path) or "pallas"
+    # (Mosaic kernel, the fast path; implies parity=False).
+    backend: str = "jnp"
     # DDA steps executed per early-exit check in the batched tracer.
     step_chunk: int = 16
 

@@ -1,0 +1,574 @@
+"""Shared wavefront-tracer semantics (backend-independent).
+
+The reference marches each pixel's ray recursively on one CPU core
+(/root/reference/trace.h:186-679).  Here ALL rays advance together as
+masked SoA state; this module holds the *semantics* - DDA stepping, cell
+branches, portal rotation, fog, shading, bounce - written against an
+abstract `Env` so two backends share one source of truth:
+
+  * tracer_jnp: plain XLA ops ([N] arrays, jnp.take gathers) - the
+    reference/parity path;
+  * tracer_pallas: a Mosaic kernel ([8,128] registers, chunked
+    hardware take_along_axis gathers, per-tile early exit) - the
+    performance path.
+
+Every mask/order quirk is cited to the reference; see SURVEY.md section 7.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import (COL_CEIL, COL_FLOOR, COL_MAGENTA, COL_WALL,
+                           EPSILON, FXP, FZP, FXN, FZN, FYP, FYN,
+                           RenderConfig)
+from . import worlddev as W
+from .vec import C4, V3, dot_sse, normalise_sse
+
+F32 = jnp.float32
+I32 = jnp.int32
+
+# terminal kinds
+T_NONE, T_WALL, T_SPHERE, T_SKY = 0, 1, 2, 3
+# wall colour ids
+C_CEIL, C_FLOOR, C_WALL, C_MAGENTA = 0, 1, 2, 3
+
+PAL = np.array([COL_CEIL, COL_FLOOR, COL_WALL, COL_MAGENTA], np.float32)
+
+
+class Math(NamedTuple):
+    rsq: Any
+    rcp: Any
+
+
+class CellFields(NamedTuple):
+    """Decoded per-cell channels for the rays' current cells."""
+
+    cls: jnp.ndarray
+    pkind: jnp.ndarray
+    prot: jnp.ndarray
+    pdcx: jnp.ndarray
+    pdcz: jnp.ndarray
+    xcls: jnp.ndarray
+    nsph: jnp.ndarray
+    cell_idx: jnp.ndarray   # clamped flat index (for bucket lookups)
+
+
+class Env(NamedTuple):
+    """Backend services for the shared tracer semantics."""
+
+    math: Math
+    fetch: Any        # fn(cx, cz) -> CellFields (OOB clamps to cell 0)
+    sphere_pass: Any  # fn(state, inb, fields) -> state  (may be None)
+    randfs: Any       # fn(seed) -> (seed, f32 value)
+
+
+def decode_word(w, cell_idx) -> CellFields:
+    return CellFields(cls=W.w_cls(w), pkind=W.w_pkind(w),
+                      prot=W.w_prot(w), pdcx=W.w_pdcx(w),
+                      pdcz=W.w_pdcz(w), xcls=W.w_xcls(w),
+                      nsph=W.w_nsph(w), cell_idx=cell_idx)
+
+
+class SegState(NamedTuple):
+    pos: V3
+    ray: V3
+    iavel: V3
+    wdist: V3
+    gx: jnp.ndarray
+    gy: jnp.ndarray
+    gz: jnp.ndarray
+    cx: jnp.ndarray
+    cz: jnp.ndarray
+    cdist: jnp.ndarray
+    fog: jnp.ndarray
+    ldir: jnp.ndarray
+    active: jnp.ndarray
+    aux_dist: jnp.ndarray
+    aux_refl: jnp.ndarray
+    aux_pos: V3
+    aux_norm: V3
+    aux_col: C4
+    tkind: jnp.ndarray
+    tldir: jnp.ndarray
+    tcolid: jnp.ndarray
+    tfog: jnp.ndarray
+    tdist: jnp.ndarray
+    tpos: V3
+    tray: V3
+
+
+class SegOut(NamedTuple):
+    tkind: jnp.ndarray
+    tldir: jnp.ndarray
+    tcolid: jnp.ndarray
+    tfog: jnp.ndarray
+    tdist: jnp.ndarray
+    tpos: V3
+    tray: V3
+    aux_refl: jnp.ndarray
+    aux_pos: V3
+    aux_norm: V3
+    aux_col: C4
+
+
+def init_segment(ifrom: V3, iray: V3, active, math: Math) -> SegState:
+    ray = normalise_sse(iray, math.rsq)
+    eps = F32(EPSILON)
+
+    def clamp(c):
+        return jnp.where((c > -eps) & (c < eps),
+                         jnp.where(c < 0.0, -eps, eps), c)
+
+    ray = V3(clamp(ray.x), clamp(ray.y), clamp(ray.z))
+    cx = ifrom.x.astype(I32)
+    cz = ifrom.z.astype(I32)
+    gx = jnp.where(iray.x < 0.0, -1, 1).astype(I32)
+    gy = jnp.where(iray.y < 0.0, -1, 1).astype(I32)
+    gz = jnp.where(iray.z < 0.0, -1, 1).astype(I32)
+    iavel = V3(math.rcp(jnp.abs(ray.x)), math.rcp(jnp.abs(ray.y)),
+               math.rcp(jnp.abs(ray.z)))
+    wd = V3(ifrom.x - cx.astype(F32), ifrom.y, ifrom.z - cz.astype(F32))
+
+    def flip(w, c):
+        return jnp.where(c >= 0.0, F32(1.0) - w, w)
+
+    wdist = V3(flip(wd.x, ray.x) * iavel.x, flip(wd.y, ray.y) * iavel.y,
+               flip(wd.z, ray.z) * iavel.z)
+    z1 = jnp.zeros_like(ifrom.x)
+    one = jnp.ones_like(ifrom.x)
+    z3 = V3(z1, z1, z1)
+    zi = jnp.zeros_like(cx)
+    return SegState(
+        pos=ifrom, ray=ray, iavel=iavel, wdist=wdist, gx=gx, gy=gy, gz=gz,
+        cx=cx, cz=cz, cdist=z1, fog=z1, ldir=zi + FYN,
+        active=active.astype(I32),
+        aux_dist=z1 - F32(1.0), aux_refl=z1 + F32(0.25),
+        aux_pos=z3, aux_norm=z3, aux_col=C4(one, one, one, one),
+        tkind=zi, tldir=zi, tcolid=zi, tfog=z1, tdist=z1, tpos=z3,
+        tray=ray)
+
+
+def _terminate(s: SegState, mask, kind, ldir=None, colid=None, fog=None,
+               dist=None, pos=None, ray=None) -> SegState:
+    m = mask & (s.active != 0)
+    return s._replace(
+        tkind=jnp.where(m, kind, s.tkind),
+        tldir=jnp.where(m, ldir, s.tldir) if ldir is not None else s.tldir,
+        tcolid=(jnp.where(m, colid, s.tcolid)
+                if colid is not None else s.tcolid),
+        tfog=jnp.where(m, fog, s.tfog) if fog is not None else s.tfog,
+        tdist=jnp.where(m, dist, s.tdist) if dist is not None else s.tdist,
+        tpos=pos.where(m, s.tpos) if pos is not None else s.tpos,
+        tray=ray.where(m, s.tray) if ray is not None else s.tray,
+        active=jnp.where(m, 0, s.active))
+
+
+def segment_body(s: SegState, env: Env, cfg: RenderConfig) -> SegState:
+    """One DDA step for every active ray (trace.h:250-675)."""
+    f = env.fetch(s.cx, s.cz)
+    inb = (s.cx >= 0) & (s.cx < 64) & (s.cz >= 0) & (s.cz < 64)
+    cls = f.cls
+    pkind, prot, pdcx, pdcz = f.pkind, f.prot, f.pdcx, f.pdcz
+
+    if env.sphere_pass is not None:
+        s = env.sphere_pass(s, inb, f)
+
+    is_floorish = (cls == W.FLOOR) | (cls == W.FOG) | (cls == W.LOWER)
+    is_tall = (cls == W.TALL) | (cls == W.TALLFOG)
+    is_ramp = (cls >= W.RAMP_GT) & (cls <= W.RAMP_CR)
+    is_portal = cls == W.PORTAL
+    is_wall = cls == W.WALL
+    is_fogc = (cls == W.FOG) | (cls == W.TALLFOG)
+    has_aux = s.aux_dist != F32(-1.0)
+
+    pos, ray, wdist, iavel = s.pos, s.ray, s.wdist, s.iavel
+    gx, gy, gz = s.gx, s.gy, s.gz
+
+    # ---- ramp tilt (trace.h:450-457) -------------------------------------
+    coef_x = jnp.where(cls == W.RAMP_GT, F32(-0.5),
+                       jnp.where(cls == W.RAMP_LT, F32(0.5), F32(0.0)))
+    coef_z = jnp.where(cls == W.RAMP_CM, F32(-0.5),
+                       jnp.where(cls == W.RAMP_CR, F32(0.5), F32(0.0)))
+    is_ramp_x = (cls == W.RAMP_GT) | (cls == W.RAMP_LT)
+    tilt = jnp.where(is_ramp_x, coef_x * ray.x, coef_z * ray.z)
+    ray_y2 = jnp.where(is_ramp, ray.y + tilt, ray.y)
+    ray2 = V3(ray.x, ray_y2, ray.z)
+
+    # ---- per-class effective wdist.y -------------------------------------
+    wx, wy0, wz = wdist.x, wdist.y, wdist.z
+    wy_tall = jnp.where(gy > 0, wy0 + iavel.y, wy0)
+    ay2 = jnp.where(ray_y2 < 0.0, -ray_y2, ray_y2)
+    wy_ramp = jnp.where(ray_y2 >= 0.0, F32(1.0) - pos.y, pos.y) \
+        * (F32(1.0) / ay2)
+    wy = jnp.where(is_tall, wy_tall, jnp.where(is_ramp, wy_ramp, wy0))
+
+    # ---- ramps: sphere exit BEFORE stepping (trace.h:463-468) -------------
+    pre_sph = is_ramp & has_aux & (s.cdist > s.aux_dist)
+    s = _terminate(s, pre_sph, T_SPHERE, fog=s.fog, dist=s.aux_dist,
+                   ray=ray2)
+    act = s.active != 0
+
+    # ---- through: min-axis crossing (trace.h:156-184) ----------------------
+    ymin = (wy < wx) & (wy < wz)
+    xmin = ~ymin & (wx < wz)
+    zmin = ~ymin & ~xmin
+    t = jnp.where(ymin, wy, jnp.where(xmin, wx, wz))
+    gsel = jnp.where(is_ramp, gy, gx)  # reference passes gy as gx on ramps
+    ldir_t = jnp.where(
+        ymin, jnp.where(gy < 0, FYN, FYP),
+        jnp.where(xmin, jnp.where(gsel < 0, FXN, FXP),
+                  jnp.where(gz < 0, FZN, FZP)))
+    goes = act & (is_floorish | is_tall | is_ramp)
+    cdist2 = jnp.where(goes, s.cdist + t, s.cdist)
+    pos2 = (pos + t * ray2).where(goes, pos)
+    ldir2 = jnp.where(goes, ldir_t, s.ldir)
+
+    # ---- floor/tall: fog + sphere exit + Y hit (trace.h:302-392) ----------
+    ft = act & (is_floorish | is_tall)
+    sph2 = ft & has_aux & (cdist2 > s.aux_dist)
+    extra = jnp.where(is_fogc & (s.aux_dist > s.cdist),
+                      s.aux_dist - s.cdist, F32(0.0))
+    s = _terminate(s, sph2, T_SPHERE, fog=s.fog + extra, dist=s.aux_dist,
+                   ray=ray)
+    act = s.active != 0
+    ft = act & (is_floorish | is_tall)
+    fog2 = jnp.where(ft & is_fogc, s.fog + (cdist2 - s.cdist), s.fog)
+
+    y_hit = ft & ((ldir2 == FYN) | (ldir2 == FYP))
+    s = _terminate(s, y_hit, T_WALL, ldir=ldir2,
+                   colid=jnp.where(gy > 0, C_CEIL, C_FLOOR),
+                   fog=fog2, dist=cdist2, pos=pos2, ray=ray)
+    act = s.active != 0
+
+    # ---- ramp Y hit (trace.h:471-478) --------------------------------------
+    ramp_go = act & is_ramp
+    ry_hit = ramp_go & ((ldir2 == FYN) | (ldir2 == FYP))
+    s = _terminate(s, ry_hit, T_WALL,
+                   ldir=jnp.where(ray_y2 < 0.0, FYN, FYP),
+                   colid=jnp.where(ray_y2 >= 0.0, C_CEIL, C_FLOOR),
+                   fog=s.fog, dist=cdist2, pos=pos2, ray=ray2)
+    act = s.active != 0
+
+    # ---- X/Z continuation: rebase wdist, advance cell ----------------------
+    cont = act & (is_floorish | is_tall | is_ramp)
+    xstep = cont & xmin
+    zstep = cont & zmin
+    stepped = xstep | zstep
+    sub = jnp.where(xstep, wx, jnp.where(zstep, wz, F32(0.0)))
+    wnx = jnp.where(xstep, iavel.x, wx - sub)
+    wny = wy - sub
+    wnz = jnp.where(zstep, iavel.z, wz - sub)
+    # tall: restore the ceiling-shift (trace.h:392)
+    wny = jnp.where(stepped & is_tall & (gy > 0), wny - iavel.y, wny)
+    cx2 = s.cx + jnp.where(xstep, gx, 0)
+    cz2 = s.cz + jnp.where(zstep, gz, 0)
+
+    # ramp: recompute ldir from tilted ray, untilt, recompute wdist.y
+    ldir3 = jnp.where(
+        ramp_go & xstep, jnp.where(ray2.x < 0.0, FXN, FXP),
+        jnp.where(ramp_go & zstep, jnp.where(ray2.z < 0.0, FZN, FZP),
+                  ldir2))
+    ray_y3 = jnp.where(ramp_go & stepped, ray_y2 - tilt, ray_y2)
+    ray3 = V3(ray2.x, jnp.where(is_ramp, ray_y3, ray.y), ray2.z)
+    wy_post = jnp.where(ray_y3 >= 0.0, F32(1.0) - pos2.y, pos2.y) \
+        * iavel.y
+    wny = jnp.where(ramp_go & stepped, wy_post, wny)
+
+    # ---- new-cell fetch + transitions (floor<->tall shifts) ---------------
+    f2 = env.fetch(cx2, cz2)
+    ncls = f2.cls
+    n_tall = (ncls == W.TALL) | (ncls == W.TALLFOG)
+    n_lower = ncls == W.LOWER
+
+    pos3y = pos2.y
+    # '"' -> '#/&' (trace.h:343-351)
+    tr1 = stepped & (cls == W.LOWER) & n_tall
+    pos3y = jnp.where(tr1, pos3y + F32(1.0), pos3y)
+    wny = jnp.where(tr1, jnp.where(gy < 0, wny + iavel.y, wny - iavel.y),
+                    wny)
+    # '#/&' -> '"' (trace.h:395-402)
+    tr2 = stepped & is_tall & n_lower
+    pos3y = jnp.where(tr2, pos3y - F32(1.0), pos3y)
+    wny = jnp.where(tr2, jnp.where(gy > 0, wny + iavel.y, wny - iavel.y),
+                    wny)
+
+    # '#/&': 2-high wall check with behind-cell substitution
+    # (trace.h:404-440)
+    xc = f2.xcls
+    y_out = (pos3y < F32(0.0)) | (pos3y > F32(1.0))
+    chk = stepped & is_tall & y_out
+    xc_tall = (xc == W.TALL) | (xc == W.TALLFOG)
+    xc_low = xc == W.LOWER
+    revert = chk & xc_low
+    pos3y = jnp.where(revert, pos3y + F32(1.0), pos3y)
+    wny = jnp.where(revert,
+                    jnp.where(gy > 0, wny - iavel.y, wny + iavel.y), wny)
+    pos3 = V3(pos2.x, pos3y, pos2.z)
+    wall2 = chk & ~xc_tall
+    s = _terminate(s, wall2, T_WALL, ldir=ldir3, colid=C_WALL,
+                   fog=fog2, dist=cdist2, pos=pos3, ray=ray3)
+    act = s.active != 0
+
+    # ---- portal cells (trace.h:507-650) -----------------------------------
+    p_bad = act & is_portal & (pkind == 2)
+    p_wrong = act & is_portal & (pkind == 3)
+    for pm_mask, colid in ((p_bad, C_WALL), (p_wrong, C_MAGENTA)):
+        sphm = pm_mask & has_aux & (s.cdist > s.aux_dist)
+        s = _terminate(s, sphm, T_SPHERE, fog=s.fog, dist=s.aux_dist,
+                       ray=ray)
+        wallm = pm_mask & (s.active != 0)
+        s = _terminate(s, wallm, T_WALL, ldir=s.ldir, colid=colid,
+                       fog=s.fog, dist=s.cdist, pos=pos, ray=ray)
+    act = s.active != 0
+
+    pgo = act & is_portal & (pkind == 1)
+    cxp = s.cx + pdcx
+    czp = s.cz + pdcz
+    px_t = pos.x + pdcx.astype(F32)
+    pz_t = pos.z + pdcz.astype(F32)
+    rot = prot
+    ldir_p = (s.ldir - rot) & 3
+    cxh = cxp.astype(F32) + F32(0.5)
+    czh = czp.astype(F32) + F32(0.5)
+    trx, trz = px_t, pz_t
+    tvx, tvz = ray.x, ray.z
+    twx, twz = wdist.x, wdist.z
+    tix, tiz = iavel.x, iavel.z
+    r1, r2, r3 = rot == 1, rot == 2, rot == 3
+    px_r = jnp.where(r1, cxh + (trz - czh),
+                     jnp.where(r2, cxh * F32(2.0) - px_t,
+                               jnp.where(r3, cxh - (trz - czh), px_t)))
+    pz_r = jnp.where(r1, czh - (trx - cxh),
+                     jnp.where(r2, czh * F32(2.0) - pz_t,
+                               jnp.where(r3, czh + (trx - cxh), pz_t)))
+    vx_r = jnp.where(r1, tvz, jnp.where(r2, -tvx,
+                                        jnp.where(r3, -tvz, tvx)))
+    vz_r = jnp.where(r1, -tvx, jnp.where(r2, -tvz,
+                                         jnp.where(r3, tvx, tvz)))
+    gx_r = jnp.where(r1, gz, jnp.where(r2, -gx, jnp.where(r3, -gz, gx)))
+    gz_r = jnp.where(r1, -gx, jnp.where(r2, -gz, jnp.where(r3, gx, gz)))
+    swap = r1 | r3
+    wx_r = jnp.where(swap, twz, twx)
+    wz_r = jnp.where(swap, twx, twz)
+    ix_r = jnp.where(swap, tiz, tix)
+    iz_r = jnp.where(swap, tix, tiz)
+    # advance one cell along the rotated ldir (default case is FXP)
+    step_dx = jnp.where(ldir_p == FZP, 0,
+                        jnp.where(ldir_p == FXN, -1,
+                                  jnp.where(ldir_p == FZN, 0, 1)))
+    step_dz = jnp.where(ldir_p == FZP, 1,
+                        jnp.where(ldir_p == FZN, -1, 0))
+    px_f = px_r + step_dx.astype(F32)
+    pz_f = pz_r + step_dz.astype(F32)
+    cx_f = cxp + step_dx
+    cz_f = czp + step_dz
+
+    # ---- plain wall (trace.h:651-664) --------------------------------------
+    wallm = act & is_wall
+    sphw = wallm & has_aux & (s.cdist > s.aux_dist)
+    s = _terminate(s, sphw, T_SPHERE, fog=s.fog, dist=s.aux_dist, ray=ray)
+    wallm = wallm & (s.active != 0)
+    s = _terminate(s, wallm, T_WALL, ldir=s.ldir,
+                   colid=jnp.where(s.ldir == FYP, C_CEIL, C_WALL),
+                   fog=s.fog, dist=s.cdist, pos=pos, ray=ray)
+    act = s.active != 0
+
+    # ---- merge state updates for survivors ---------------------------------
+    cont2 = act & stepped
+    pgo2 = act & pgo
+    new_pos = V3(jnp.where(pgo2, px_f, jnp.where(cont2, pos3.x, pos.x)),
+                 jnp.where(cont2, pos3.y, pos.y),
+                 jnp.where(pgo2, pz_f, jnp.where(cont2, pos3.z, pos.z)))
+    new_ray = V3(jnp.where(pgo2, vx_r, jnp.where(cont2, ray3.x, ray.x)),
+                 jnp.where(cont2, ray3.y, ray.y),
+                 jnp.where(pgo2, vz_r, jnp.where(cont2, ray3.z, ray.z)))
+    new_wd = V3(jnp.where(pgo2, wx_r, jnp.where(cont2, wnx, wdist.x)),
+                jnp.where(cont2, wny, wdist.y),
+                jnp.where(pgo2, wz_r, jnp.where(cont2, wnz, wdist.z)))
+    new_ia = V3(jnp.where(pgo2, ix_r, iavel.x), iavel.y,
+                jnp.where(pgo2, iz_r, iavel.z))
+    new_gx = jnp.where(pgo2, gx_r, gx)
+    new_gz = jnp.where(pgo2, gz_r, gz)
+    new_cx = jnp.where(cont2, cx2, jnp.where(pgo2, cx_f, s.cx))
+    new_cz = jnp.where(cont2, cz2, jnp.where(pgo2, cz_f, s.cz))
+    new_cd = jnp.where(cont2, cdist2, s.cdist)
+    new_fog = jnp.where(cont2, fog2, s.fog)
+    new_ld = jnp.where(cont2, ldir3, jnp.where(pgo2, ldir_p, s.ldir))
+
+    s = s._replace(pos=new_pos, ray=new_ray, wdist=new_wd, iavel=new_ia,
+                   gx=new_gx, gz=new_gz, cx=new_cx, cz=new_cz,
+                   cdist=new_cd, fog=new_fog, ldir=new_ld)
+
+    # ---- end-of-iteration sphere check (trace.h:668-673) ------------------
+    end_sph = ((s.active != 0) & (s.aux_dist != F32(-1.0))
+               & (s.cdist > s.aux_dist))
+    s = _terminate(s, end_sph, T_SPHERE, fog=s.fog, dist=s.aux_dist,
+                   ray=s.ray)
+    return s
+
+
+def run_segment(env: Env, cfg: RenderConfig, ifrom: V3, iray: V3,
+                active) -> SegOut:
+    s0 = init_segment(ifrom, iray, active, env.math)
+    n_act0 = jnp.sum(active.astype(I32))
+
+    def cond(carry):
+        step, n_act, s = carry
+        return (step < cfg.maxsteps) & (n_act > 0)
+
+    def body(carry):
+        step, n_act, s = carry
+        s = segment_body(s, env, cfg)
+        return (step + 1, jnp.sum(s.active), s)
+
+    _, _, s = jax.lax.while_loop(cond, body, (jnp.int32(0), n_act0, s0))
+    # still-active rays ran out of steps: sky colour = current ray dir
+    left = s.active != 0
+    s = s._replace(tkind=jnp.where(left, T_SKY, s.tkind),
+                   tray=s.ray.where(left, s.tray))
+    return SegOut(tkind=s.tkind, tldir=s.tldir, tcolid=s.tcolid,
+                  tfog=s.tfog, tdist=s.tdist, tpos=s.tpos, tray=s.tray,
+                  aux_refl=s.aux_refl, aux_pos=s.aux_pos,
+                  aux_norm=s.aux_norm, aux_col=s.aux_col)
+
+
+def _palette(colid, chan: int):
+    return jnp.where(colid == 0, F32(PAL[0, chan]),
+                     jnp.where(colid == 1, F32(PAL[1, chan]),
+                               jnp.where(colid == 2, F32(PAL[2, chan]),
+                                         F32(PAL[3, chan]))))
+
+
+def shade_and_bounce(out: SegOut, icol: C4, seed, sec, depth_ok: bool,
+                     env: Env):
+    """Wall shading (trace_hit_wall) + bounce prep (trace_hit_bounce)."""
+    math = env.math
+    rx, ry, rz = out.tray.x, out.tray.y, out.tray.z
+    d = jnp.where(out.tldir == FYP, ry,
+        jnp.where(out.tldir == FZP, rz,
+        jnp.where(out.tldir == FXN, -rx,
+        jnp.where(out.tldir == FYN, -ry,
+        jnp.where(out.tldir == FZN, -rz, rx)))))
+    d = jnp.maximum(d, 0.0)
+    d = F32(0.9) * d + F32(0.1)
+    zero = jnp.zeros_like(d)
+    wallcol = C4(_palette(out.tcolid, 0), _palette(out.tcolid, 1),
+                 _palette(out.tcolid, 2), zero)
+    base_wall = icol * wallcol * d
+    is_wall = out.tkind == T_WALL
+    is_sph = out.tkind == T_SPHERE
+    sky4 = C4(rx, ry, rz, zero)
+    base = base_wall.where(is_wall, out.aux_col.where(is_sph, sky4))
+    refl = jnp.where(is_wall,
+                     jnp.where(out.tldir == FYN, F32(0.7), F32(0.25)),
+                     jnp.where(is_sph, out.aux_refl, F32(0.0)))
+    bounce = (is_wall | is_sph) & (refl != F32(0.0)) & depth_ok
+
+    # mirror + nudge (trace_hit_bounce:12-75)
+    pos = out.tpos
+    ray = out.tray
+    eps = F32(0.001)
+    negx = (out.tldir == FXP) | (out.tldir == FXN)
+    negz = (out.tldir == FZP) | (out.tldir == FZN)
+    negy = out.tldir == FYP
+    mray = V3(jnp.where(is_wall & negx, -rx, rx),
+              jnp.where(is_wall & negy, -ry, ry),
+              jnp.where(is_wall & negz, -rz, rz))
+    nudx = jnp.where(out.tldir == FXP, -eps,
+                     jnp.where(out.tldir == FXN, eps, F32(0.0)))
+    nudy = jnp.where((out.tldir == FYP) | (out.tldir == FYN), -eps,
+                     F32(0.0))
+    nudz = jnp.where(out.tldir == FZP, -eps,
+                     jnp.where(out.tldir == FZN, eps, F32(0.0)))
+    mpos = (pos + V3(nudx, nudy, nudz)).where(is_wall, pos)
+
+    # water floor (FYN): normal from the *nudged* position (trace.h:39-56)
+    water = is_wall & (out.tldir == FYN)
+    pi = F32(np.pi)
+    ang = (pi * F32(2.0)) * ((jnp.sin(pi * F32(0.5) * mpos.x)
+                              + jnp.cos(pi * F32(0.5) * mpos.z))
+                             + sec * F32(1.0))
+    wnorm = normalise_sse(
+        V3(jnp.sin(ang), jnp.full_like(ang, 38.0), jnp.cos(ang)), math.rsq)
+    norm = wnorm.where(water, out.aux_norm)
+
+    # sphere: back off along the ray from aux_pos (trace.h:58-60)
+    mpos = (out.aux_pos - F32(0.001) * ray).where(is_sph, mpos)
+
+    mirror = water | is_sph
+    rmul = F32(-2.0) * (((F32(0.0) + ray.x * norm.x) + ray.y * norm.y)
+                        + ray.z * norm.z)
+    mirrored = normalise_sse(rmul * norm + ray, math.rsq)
+    mray = mirrored.where(mirror, mray)
+
+    # reflect blur: 5 draws, 2 discarded (trace.h:77-84)
+    rb = F32(0.03)
+    seed, v = env.randfs(seed)
+    mx = mray.x + v * rb
+    seed, v = env.randfs(seed)
+    my = mray.y + v * rb
+    seed, _ = env.randfs(seed)
+    seed, v = env.randfs(seed)
+    mz = mray.z + v * rb
+    seed, _ = env.randfs(seed)
+    mray = V3(mx, my, mz)
+
+    return base, refl, bounce, mpos, mray, seed
+
+
+def trace_wave_env(env: Env, cfg: RenderConfig, ifrom: V3, iray: V3,
+                   seed, sec):
+    """Full multi-bounce trace. Returns (col: C4, dist)."""
+    one = jnp.ones_like(ifrom.x)
+    active = one > 0.0
+    icol = C4(one, one, one, one)
+    sec = F32(sec)
+
+    bases, refls, bounces, fogs = [], [], [], []
+    dist0 = None
+    cur_from, cur_ray = ifrom, iray
+    for k in range(cfg.n_waves):
+        out = run_segment(env, cfg, cur_from, cur_ray, active)
+        depth_ok = k < cfg.reflect
+        base, refl, bounce, mpos, mray, seed = shade_and_bounce(
+            out, icol, seed, sec, depth_ok, env)
+        if k == 0:
+            dist0 = out.tdist
+        bases.append(base)
+        refls.append(refl)
+        bounces.append(bounce)
+        fogs.append(out.tfog)
+        icol = base
+        cur_from, cur_ray = mpos, mray
+        active = bounce
+
+    # unwind blend (trace_hit_bounce:86-105)
+    col = bases[-1]
+    for k in range(cfg.n_waves - 2, -1, -1):
+        blended = refls[k] * col + (F32(1.0) - refls[k]) * bases[k]
+        fogf = jnp.exp(F32(-0.6) * fogs[k])
+        fogged = fogf * blended + (F32(1.0) - fogf)
+        res = fogged.where(fogs[k] != F32(0.0), blended)
+        col = res.where(bounces[k], bases[k])
+    return col, dist0
+
+
+def col_ftoint(col: C4):
+    """BGRA8 pack with _mm_cvtps_epi32 + saturating packs semantics
+    (util.h:48-59): round-to-nearest-even, <0 -> 0, >255 -> 255, and the
+    cvtps overflow-to-INT_MIN -> 0 quirk for v >= 2^31 or NaN."""
+
+    def one(c, shift):
+        v = c * F32(255.0)
+        r = jax.lax.round(v, jax.lax.RoundingMethod.TO_NEAREST_EVEN)
+        bad = (v >= F32(2147483648.0)) | jnp.isnan(v)
+        b = jnp.clip(r, 0.0, 255.0).astype(jnp.uint32)
+        b = jnp.where(bad, jnp.uint32(0), b)
+        return b << np.uint32(shift)
+
+    return one(col.b, 0) | one(col.g, 8) | one(col.r, 16) | one(col.a, 24)

@@ -1,0 +1,219 @@
+"""Mosaic (Pallas) backend for the shared wavefront tracer.
+
+One grid program traces a tile of 8x128 = 1024 rays through all bounce
+waves entirely in VMEM/registers - no HBM traffic per DDA step, per-tile
+all-done early exit, and cell lookups via the VPU's hardware dynamic
+gathers:
+
+  * the packed per-cell channel word (ops/worlddev.py) lives as 32
+    broadcast chunks of 128 lanes; a lookup is 32 take_along_axis ops +
+    selects (measured: gathers pipeline to ~the cost of one);
+  * sphere buckets become a per-cell 15-bit membership *mask* plane -
+    bucket insertion order equals sphere index order in the reference
+    (level.h:64-81), so a static index-ordered sphere loop masked by the
+    cell's bits reproduces trace.h:252-296 test order exactly;
+  * sphere SoA values are read as scalars (static unroll), no gathers;
+  * the LCG runs in int32 (identical bit patterns; Mosaic lacks
+    uint32->f32 casts).
+
+This is the fast path (cfg.parity is ignored: hardware rsqrt/rcp).
+Differentially tested against the jnp backend in tests/test_pallas.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.config import RenderConfig
+from . import worlddev as W
+from .tracer_core import (CellFields, Env, Math, SegState, decode_word,
+                          trace_wave_env)
+from .vec import C4, V3, dot_sse, normalise_sse
+
+F32 = jnp.float32
+I32 = jnp.int32
+
+TILE = 1024            # rays per grid program, as [8,128]
+NSPH_MAX = 15          # sphere-mask width (bucket capacity bound)
+
+
+class PallasTables(NamedTuple):
+    word: jnp.ndarray    # [256,128] i32: rows 8c..8c+7 = chunk c bcast
+    mask: jnp.ndarray    # [256,128] i32: per-cell sphere membership bits
+    sph: jnp.ndarray     # [16, 8] f32: x,y,z,r,refl,cb,cg,cr
+
+
+def build_tables(world: W.WorldDev, meta: W.WorldMeta) -> PallasTables:
+    """Per-frame device tables for the kernel (cheap jnp ops)."""
+    def bcast_chunks(flat):   # [4096] -> [256,128]
+        return jnp.repeat(flat.reshape(32, 128), 8, axis=0)
+
+    K = world.buckets.shape[0] // 4096
+    b = world.buckets.reshape(4096, K)
+    mask = jnp.zeros(4096, jnp.int32)
+    for k in range(K):
+        si = b[:, k]
+        mask = mask | jnp.where(si >= 0, jnp.int32(1) << jnp.clip(si, 0, 30),
+                                0)
+    ns = world.sph_pos.shape[0]
+    sph = jnp.zeros((16, 8), jnp.float32)
+    take = min(ns, 16)
+    sph = sph.at[:take, 0:3].set(world.sph_pos[:take])
+    sph = sph.at[:take, 3].set(world.sph_r[:take])
+    sph = sph.at[:take, 4].set(world.sph_refl[:take])
+    sph = sph.at[:take, 5:8].set(world.sph_col[:take])
+    return PallasTables(word=bcast_chunks(world.word),
+                        mask=bcast_chunks(mask), sph=sph)
+
+
+def _chunked_gather(tab_ref, idx):
+    """tab_ref: [256,128] chunk-broadcast table; idx: [8,128] in [0,4096)."""
+    lo = idx & 127
+    hi = idx >> 7
+    out = jnp.zeros_like(idx)
+    for c in range(32):
+        g = jnp.take_along_axis(tab_ref[8 * c:8 * c + 8, :], lo, axis=1)
+        out = jnp.where(hi == c, g, out)
+    return out
+
+
+def _randfs_i32(s):
+    """Reference LCG on int32 lanes (bit-identical to the uint32 form)."""
+    s = (s * 25739 + 4) & 0x7FFFFFFF
+    f = (s % 3759).astype(F32) * np.float32(1.0 / 3759.0)
+    return s, f * F32(2.0) - F32(1.0)
+
+
+def _sphere_pass_pallas(mask_ref, sph_ref, n_spheres: int):
+    def run(s: SegState, inb, f: CellFields) -> SegState:
+        m = _chunked_gather(mask_ref, f.cell_idx)
+        aux_dist, aux_refl = s.aux_dist, s.aux_refl
+        aux_pos, aux_norm, aux_col = s.aux_pos, s.aux_norm, s.aux_col
+        for si in range(n_spheres):
+            hit_slot = ((m >> si) & 1) > 0
+            valid = (s.active != 0) & inb & hit_slot
+            spos = V3(sph_ref[si, 0] + jnp.zeros_like(s.pos.x),
+                      sph_ref[si, 1] + jnp.zeros_like(s.pos.x),
+                      sph_ref[si, 2] + jnp.zeros_like(s.pos.x))
+            sr = sph_ref[si, 3]
+            srefl = sph_ref[si, 4]
+            rad2 = sr * sr
+            rel = spos - s.pos
+            dist2 = dot_sse(rel, rel)
+            dot = dot_sse(rel, s.ray)
+            calcrad2 = dist2 - dot * dot
+            safe_rad2 = jnp.maximum(rad2, F32(1e-30))
+            sph_dist = jnp.sqrt(dist2) - jnp.sqrt(jnp.maximum(
+                F32(1.0) - calcrad2 / safe_rad2, F32(0.0)))
+            upd = (valid & (dot > 0.0) & (calcrad2 < rad2)
+                   & ((aux_dist == F32(-1.0))
+                      | (sph_dist + s.cdist < aux_dist)))
+            apos = s.pos + sph_dist * s.ray
+            anorm = normalise_sse(apos - spos, jax.lax.rsqrt)
+            diff = jnp.maximum(-dot_sse(s.ray, anorm), 0.0)
+            diff = F32(0.2) + F32(0.8) * diff
+            zero = jnp.zeros_like(diff)
+            acol = C4(diff * sph_ref[si, 5], diff * sph_ref[si, 6],
+                      diff * sph_ref[si, 7], zero)
+            aux_dist = jnp.where(upd, sph_dist + s.cdist, aux_dist)
+            aux_refl = jnp.where(upd, srefl, aux_refl)
+            aux_pos = apos.where(upd, aux_pos)
+            aux_norm = anorm.where(upd, aux_norm)
+            aux_col = acol.where(upd, aux_col)
+        return s._replace(aux_dist=aux_dist, aux_refl=aux_refl,
+                          aux_pos=aux_pos, aux_norm=aux_norm,
+                          aux_col=aux_col)
+
+    return run
+
+
+def _kernel(cfg: RenderConfig, n_spheres: int,
+            word_ref, mask_ref, sph_ref, sec_ref,
+            fx, fy, fz, rx, ry, rz, seed_ref,
+            ob, og, orr, oa, od):
+    def fetch(cx, cz) -> CellFields:
+        inb = (cx >= 0) & (cx < 64) & (cz >= 0) & (cz < 64)
+        idx = jnp.where(inb, cz * 64 + cx, 0)
+        w = _chunked_gather(word_ref, idx)
+        return decode_word(w, idx)
+
+    sphere_pass = (_sphere_pass_pallas(mask_ref, sph_ref, n_spheres)
+                   if n_spheres > 0 else None)
+    env = Env(math=Math(rsq=jax.lax.rsqrt, rcp=lambda x: 1.0 / x),
+              fetch=fetch, sphere_pass=sphere_pass, randfs=_randfs_i32)
+
+    ifrom = V3(fx[:], fy[:], fz[:])
+    iray = V3(rx[:], ry[:], rz[:])
+    col, dist = trace_wave_env(env, cfg, ifrom, iray, seed_ref[:],
+                               sec_ref[0, 0])
+    ob[:] = col.b
+    og[:] = col.g
+    orr[:] = col.r
+    oa[:] = col.a
+    od[:] = dist
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "n_spheres", "n_rays"))
+def _trace_pallas(tables: PallasTables, cfg: RenderConfig,
+                  n_spheres: int, n_rays: int,
+                  fx, fy, fz, rx, ry, rz, seeds, sec):
+    n_pad = -(-n_rays // TILE) * TILE
+    tiles = n_pad // TILE
+
+    def pad(a, fill):
+        return jnp.pad(a, (0, n_pad - n_rays),
+                       constant_values=fill).reshape(tiles * 8, 128)
+
+    fx, fy, fz = pad(fx, 1.0), pad(fy, 0.5), pad(fz, 1.0)
+    rx, ry, rz = pad(rx, 0.5), pad(ry, -0.5), pad(rz, 0.5)
+    if seeds.dtype != jnp.int32:
+        seeds = jax.lax.bitcast_convert_type(seeds, jnp.int32)
+    seeds = pad(seeds, 1)
+    sec2 = jnp.asarray(sec, jnp.float32).reshape(1, 1)
+
+    tile_spec = pl.BlockSpec((8, 128), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    full = lambda shape: pl.BlockSpec(
+        shape, lambda i: tuple(0 for _ in shape),
+        memory_space=pltpu.VMEM)
+    grid_spec = pl.GridSpec(
+        grid=(tiles,),
+        in_specs=[full((256, 128)), full((256, 128)), full((16, 8)),
+                  pl.BlockSpec((1, 1), lambda i: (0, 0),
+                               memory_space=pltpu.SMEM),
+                  tile_spec, tile_spec, tile_spec,
+                  tile_spec, tile_spec, tile_spec, tile_spec],
+        out_specs=[tile_spec] * 5,
+    )
+    outs = [jax.ShapeDtypeStruct((tiles * 8, 128), jnp.float32)] * 5
+    kern = functools.partial(_kernel, cfg, n_spheres)
+    ob, og, orr, oa, od = pl.pallas_call(
+        kern, out_shape=outs, grid_spec=grid_spec,
+    )(tables.word, tables.mask, tables.sph, sec2,
+      fx, fy, fz, rx, ry, rz, seeds)
+
+    def unpad(a):
+        return a.reshape(-1)[:n_rays]
+
+    return (C4(unpad(ob), unpad(og), unpad(orr), unpad(oa)), unpad(od))
+
+
+def trace_wave_pallas(world: W.WorldDev, meta: W.WorldMeta,
+                      cfg: RenderConfig, ifrom: V3, iray: V3, seed, sec):
+    """Drop-in trace_wave with the Mosaic kernel backend."""
+    assert meta.n_spheres <= NSPH_MAX, (
+        f"pallas path supports <= {NSPH_MAX} spheres, got "
+        f"{meta.n_spheres}")
+    tables = build_tables(world, meta)
+    n = ifrom.x.shape[0]
+    return _trace_pallas(tables, cfg, meta.n_spheres, n,
+                         ifrom.x, ifrom.y, ifrom.z,
+                         iray.x, iray.y, iray.z, seed, sec)

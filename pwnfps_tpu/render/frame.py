@@ -74,7 +74,12 @@ def render_frame(world: W.WorldDev, meta: W.WorldMeta, cfg: RenderConfig,
     ifrom = V3(jnp.broadcast_to(origin[0], (n,)),
                jnp.broadcast_to(origin[1], (n,)),
                jnp.broadcast_to(origin[2], (n,)))
-    col4, dist = trace_wave(world, meta, cfg, ifrom, rays, seeds, sec)
+    if cfg.backend == "pallas":
+        from ..ops.tracer_pallas import trace_wave_pallas
+        col4, dist = trace_wave_pallas(world, meta, cfg, ifrom, rays,
+                                       seeds, sec)
+    else:
+        col4, dist = trace_wave(world, meta, cfg, ifrom, rays, seeds, sec)
     fb = col_ftoint(col4).reshape(h, w)
     zbuf = dist.reshape(h, w)
     if cfg.postproc_blur:

@@ -1,0 +1,1025 @@
+"""luamini: a small Lua 5.1 interpreter for game scripts.
+
+The reference embeds Lua 5.1 and runs game.lua against five C bindings
+(/root/reference/script.h:71-102).  This environment ships no Lua, so we
+provide a self-contained interpreter covering the game-logic subset of
+Lua 5.1: numbers (doubles), strings, booleans, nil, tables (constructors,
+indexing, '#' length), functions and closures, multiple assignment with
+call expansion, local scoping, if/elseif/while/repeat/numeric-for/
+generic-for (pairs/ipairs), operators (arith, %, ^, comparison, and/or/
+not, ..), method-free stdlib subset (math.*, string.format/len/sub,
+table.insert/remove, print, tostring, tonumber, type).
+
+Deliberately out of scope (documented): metatables, coroutines,
+goto/labels, varargs beyond '...' in toplevel, string methods via ':'.
+Scripts needing those belong in the Python scripting frontend.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+
+class LuaError(RuntimeError):
+    pass
+
+
+# ----------------------------------------------------------------- lexer
+_KEYWORDS = {"and", "break", "do", "else", "elseif", "end", "false",
+             "for", "function", "if", "in", "local", "nil", "not", "or",
+             "repeat", "return", "then", "true", "until", "while"}
+
+_TOKEN_RE = re.compile(r"""
+    (?P<ws>\s+)
+  | (?P<comment>--\[\[.*?\]\]|--[^\n]*)
+  | (?P<number>0[xX][0-9a-fA-F]+|\d+\.?\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?)
+  | (?P<name>[A-Za-z_]\w*)
+  | (?P<string>"(?:\\.|[^"\\])*"|'(?:\\.|[^'\\])*')
+  | (?P<op>\.\.\.|\.\.|==|~=|<=|>=|[-+*/%^#<>=(){}\[\];:,.])
+""", re.VERBOSE | re.DOTALL)
+
+_ESCAPES = {"n": "\n", "t": "\t", "r": "\r", "a": "\a", "b": "\b",
+            "f": "\f", "v": "\v", "\\": "\\", '"': '"', "'": "'",
+            "\n": "\n"}
+
+
+def _unescape(s: str) -> str:
+    out, i = [], 0
+    while i < len(s):
+        c = s[i]
+        if c == "\\" and i + 1 < len(s):
+            n = s[i + 1]
+            if n.isdigit():
+                j = i + 1
+                while j < len(s) and j < i + 4 and s[j].isdigit():
+                    j += 1
+                out.append(chr(int(s[i + 1:j])))
+                i = j
+                continue
+            out.append(_ESCAPES.get(n, n))
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def tokenize(src: str):
+    toks = []
+    pos = 0
+    line = 1
+    # long strings [[...]] (rare; support at lexer level)
+    while pos < len(src):
+        if src.startswith("[[", pos):
+            end = src.find("]]", pos + 2)
+            if end < 0:
+                raise LuaError(f"unterminated long string at line {line}")
+            toks.append(("string", src[pos + 2:end], line))
+            line += src.count("\n", pos, end)
+            pos = end + 2
+            continue
+        m = _TOKEN_RE.match(src, pos)
+        if not m:
+            raise LuaError(f"unexpected char {src[pos]!r} at line {line}")
+        kind = m.lastgroup
+        text = m.group()
+        line += text.count("\n")
+        pos = m.end()
+        if kind in ("ws", "comment"):
+            continue
+        if kind == "number":
+            val = float(int(text, 16)) if text[:2].lower() == "0x" \
+                else float(text)
+            toks.append(("number", val, line))
+        elif kind == "name":
+            if text in _KEYWORDS:
+                toks.append((text, text, line))
+            else:
+                toks.append(("name", text, line))
+        elif kind == "string":
+            toks.append(("string", _unescape(text[1:-1]), line))
+        else:
+            toks.append((text, text, line))
+    toks.append(("eof", None, line))
+    return toks
+
+
+# ---------------------------------------------------------------- parser
+class Parser:
+    def __init__(self, toks):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self):
+        return self.toks[self.i][0]
+
+    def next(self):
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, kind):
+        t = self.next()
+        if t[0] != kind:
+            raise LuaError(f"expected {kind!r}, got {t[0]!r} "
+                           f"(line {t[2]})")
+        return t
+
+    def accept(self, kind):
+        if self.peek() == kind:
+            return self.next()
+        return None
+
+    # -- statements ---------------------------------------------------------
+    def parse_chunk(self, terminators=("eof",)):
+        stmts = []
+        while self.peek() not in terminators:
+            if self.accept(";"):
+                continue
+            stmts.append(self.statement())
+            if stmts[-1][0] in ("return", "break"):
+                break
+        return ("block", stmts)
+
+    def statement(self):
+        t = self.peek()
+        if t == "local":
+            self.next()
+            if self.accept("function"):
+                name = self.expect("name")[1]
+                return ("localfunc", name, self.funcbody())
+            names = [self.expect("name")[1]]
+            while self.accept(","):
+                names.append(self.expect("name")[1])
+            exprs = []
+            if self.accept("="):
+                exprs = self.exprlist()
+            return ("local", names, exprs)
+        if t == "if":
+            return self.if_stmt()
+        if t == "while":
+            self.next()
+            cond = self.expr()
+            self.expect("do")
+            body = self.parse_chunk(("end",))
+            self.expect("end")
+            return ("while", cond, body)
+        if t == "repeat":
+            self.next()
+            body = self.parse_chunk(("until",))
+            self.expect("until")
+            cond = self.expr()
+            return ("repeat", body, cond)
+        if t == "for":
+            return self.for_stmt()
+        if t == "function":
+            self.next()
+            target = self.funcname()
+            return ("assignfunc", target, self.funcbody())
+        if t == "return":
+            self.next()
+            exprs = []
+            if self.peek() not in ("end", "eof", "else", "elseif",
+                                   "until", ";"):
+                exprs = self.exprlist()
+            return ("return", exprs)
+        if t == "break":
+            self.next()
+            return ("break",)
+        if t == "do":
+            self.next()
+            body = self.parse_chunk(("end",))
+            self.expect("end")
+            return ("do", body)
+        # expression statement or assignment
+        e = self.suffixedexp()
+        if self.peek() in ("=", ","):
+            targets = [e]
+            while self.accept(","):
+                targets.append(self.suffixedexp())
+            self.expect("=")
+            exprs = self.exprlist()
+            return ("assign", targets, exprs)
+        return ("exprstat", e)
+
+    def funcname(self):
+        e = ("name", self.expect("name")[1])
+        while self.accept("."):
+            e = ("index", e, ("const", self.expect("name")[1]))
+        return e
+
+    def if_stmt(self):
+        self.expect("if")
+        cond = self.expr()
+        self.expect("then")
+        body = self.parse_chunk(("elseif", "else", "end"))
+        clauses = [(cond, body)]
+        orelse = ("block", [])
+        while True:
+            t = self.next()[0]
+            if t == "elseif":
+                c = self.expr()
+                self.expect("then")
+                b = self.parse_chunk(("elseif", "else", "end"))
+                clauses.append((c, b))
+            elif t == "else":
+                orelse = self.parse_chunk(("end",))
+                self.expect("end")
+                break
+            elif t == "end":
+                break
+        return ("if", clauses, orelse)
+
+    def for_stmt(self):
+        self.expect("for")
+        name = self.expect("name")[1]
+        if self.accept("="):
+            start = self.expr()
+            self.expect(",")
+            stop = self.expr()
+            step = self.expr() if self.accept(",") else ("const", 1.0)
+            self.expect("do")
+            body = self.parse_chunk(("end",))
+            self.expect("end")
+            return ("fornum", name, start, stop, step, body)
+        names = [name]
+        while self.accept(","):
+            names.append(self.expect("name")[1])
+        self.expect("in")
+        exprs = self.exprlist()
+        self.expect("do")
+        body = self.parse_chunk(("end",))
+        self.expect("end")
+        return ("forin", names, exprs, body)
+
+    def funcbody(self):
+        self.expect("(")
+        params = []
+        vararg = False
+        if self.peek() != ")":
+            while True:
+                if self.accept("..."):
+                    vararg = True
+                    break
+                params.append(self.expect("name")[1])
+                if not self.accept(","):
+                    break
+        self.expect(")")
+        body = self.parse_chunk(("end",))
+        self.expect("end")
+        return ("function", params, vararg, body)
+
+    # -- expressions (precedence climbing) ------------------------------------
+    _BINPRI = {"or": (1, 1), "and": (2, 2),
+               "<": (3, 3), ">": (3, 3), "<=": (3, 3), ">=": (3, 3),
+               "~=": (3, 3), "==": (3, 3),
+               "..": (5, 4),  # right assoc
+               "+": (6, 6), "-": (6, 6),
+               "*": (7, 7), "/": (7, 7), "%": (7, 7),
+               "^": (10, 9)}  # right assoc
+
+    def exprlist(self):
+        es = [self.expr()]
+        while self.accept(","):
+            es.append(self.expr())
+        return es
+
+    def expr(self, limit=0):
+        t = self.peek()
+        if t in ("not", "-", "#"):
+            self.next()
+            e = ("unop", t, self.expr(8))
+        else:
+            e = self.simpleexp()
+        while True:
+            op = self.peek()
+            pri = self._BINPRI.get(op)
+            if not pri or pri[0] <= limit:
+                break
+            self.next()
+            rhs = self.expr(pri[1])
+            e = ("binop", op, e, rhs)
+        return e
+
+    def simpleexp(self):
+        t, v, line = self.toks[self.i]
+        if t == "number":
+            self.next()
+            return ("const", v)
+        if t == "string":
+            self.next()
+            return ("const", v)
+        if t == "nil":
+            self.next()
+            return ("const", None)
+        if t == "true":
+            self.next()
+            return ("const", True)
+        if t == "false":
+            self.next()
+            return ("const", False)
+        if t == "function":
+            self.next()
+            return self.funcbody()
+        if t == "{":
+            return self.tablector()
+        if t == "...":
+            self.next()
+            return ("vararg",)
+        return self.suffixedexp()
+
+    def suffixedexp(self):
+        t, v, line = self.toks[self.i]
+        if t == "(":
+            self.next()
+            e = ("paren", self.expr())
+            self.expect(")")
+        elif t == "name":
+            self.next()
+            e = ("name", v)
+        else:
+            raise LuaError(f"unexpected {t!r} (line {line})")
+        while True:
+            t = self.peek()
+            if t == ".":
+                self.next()
+                e = ("index", e, ("const", self.expect("name")[1]))
+            elif t == "[":
+                self.next()
+                e = ("index", e, self.expr())
+                self.expect("]")
+            elif t == "(":
+                self.next()
+                args = [] if self.peek() == ")" else self.exprlist()
+                self.expect(")")
+                e = ("call", e, args)
+            elif t == "string":
+                e = ("call", e, [("const", self.next()[1])])
+            elif t == "{":
+                e = ("call", e, [self.tablector()])
+            elif t == ":":
+                self.next()
+                m = self.expect("name")[1]
+                self.expect("(")
+                args = [] if self.peek() == ")" else self.exprlist()
+                self.expect(")")
+                e = ("methcall", e, m, args)
+            else:
+                return e
+
+    def tablector(self):
+        self.expect("{")
+        items = []   # ("item", expr) | ("kv", kexpr, vexpr)
+        while self.peek() != "}":
+            if self.peek() == "[":
+                self.next()
+                k = self.expr()
+                self.expect("]")
+                self.expect("=")
+                items.append(("kv", k, self.expr()))
+            elif (self.toks[self.i][0] == "name"
+                  and self.toks[self.i + 1][0] == "="):
+                k = self.next()[1]
+                self.next()
+                items.append(("kv", ("const", k), self.expr()))
+            else:
+                items.append(("item", self.expr()))
+            if not (self.accept(",") or self.accept(";")):
+                break
+        self.expect("}")
+        return ("table", items)
+
+
+# ------------------------------------------------------------- runtime
+class LuaTable:
+    __slots__ = ("hash",)
+
+    def __init__(self):
+        self.hash = {}
+
+    def get(self, k):
+        if isinstance(k, float) and k.is_integer():
+            k = int(k)
+        return self.hash.get(k)
+
+    def set(self, k, v):
+        if k is None:
+            raise LuaError("table index is nil")
+        if isinstance(k, float) and k.is_integer():
+            k = int(k)
+        if v is None:
+            self.hash.pop(k, None)
+        else:
+            self.hash[k] = v
+
+    def length(self):
+        n = 0
+        while (n + 1) in self.hash:
+            n += 1
+        return float(n)
+
+
+class LuaFunction:
+    __slots__ = ("params", "vararg", "body", "env")
+
+    def __init__(self, params, vararg, body, env):
+        self.params = params
+        self.vararg = vararg
+        self.body = body
+        self.env = env
+
+
+class Scope:
+    __slots__ = ("vars", "parent")
+
+    def __init__(self, parent=None):
+        self.vars = {}
+        self.parent = parent
+
+    def lookup(self, name):
+        s = self
+        while s is not None:
+            if name in s.vars:
+                return s
+            s = s.parent
+        return None
+
+
+class _Break(Exception):
+    pass
+
+
+class _Return(Exception):
+    def __init__(self, values):
+        self.values = values
+
+
+def lua_tostring(v) -> str:
+    if v is None:
+        return "nil"
+    if v is True:
+        return "true"
+    if v is False:
+        return "false"
+    if isinstance(v, float):
+        if v.is_integer() and abs(v) < 1e16:
+            return str(int(v))
+        return repr(v)
+    if isinstance(v, str):
+        return v
+    if isinstance(v, LuaTable):
+        return f"table: 0x{id(v):x}"
+    return f"function: 0x{id(v):x}"
+
+
+def _stdlib():
+    mt = LuaTable()
+    for n in ("sin", "cos", "tan", "asin", "acos", "exp", "sqrt",
+              "floor", "ceil"):
+        mt.set(n, (lambda f: lambda x: float(f(x)))(getattr(math, n)))
+    mt.set("atan", lambda y, x=None:
+           math.atan(y) if x is None else math.atan2(y, x))
+    mt.set("log", lambda x, b=None:
+           math.log(x) if b is None else math.log(x, b))
+    mt.set("fmod", lambda a, b: float(math.fmod(a, b)))
+    mt.set("abs", lambda x: float(abs(x)))
+    mt.set("max", lambda *a: float(max(a)))
+    mt.set("min", lambda *a: float(min(a)))
+    mt.set("pow", lambda a, b: float(a) ** float(b))
+    mt.set("pi", math.pi)
+    mt.set("huge", math.inf)
+    mt.set("random", _math_random)
+    mt.set("randomseed", lambda x: _rng.seed(int(x)))
+
+    st = LuaTable()
+    st.set("format", _string_format)
+    st.set("len", lambda s: float(len(s)))
+    st.set("sub", lambda s, i, j=-1.0: _string_sub(s, i, j))
+    st.set("rep", lambda s, n: s * int(n))
+    st.set("upper", lambda s: s.upper())
+    st.set("lower", lambda s: s.lower())
+    st.set("byte", lambda s, i=1.0: float(ord(s[int(i) - 1])))
+    st.set("char", lambda *a: "".join(chr(int(c)) for c in a))
+
+    tt = LuaTable()
+    tt.set("insert", _table_insert)
+    tt.set("remove", _table_remove)
+    tt.set("concat", _table_concat)
+
+    g = {
+        "math": mt, "string": st, "table": tt,
+        "print": lambda *a: print("\t".join(lua_tostring(x) for x in a)),
+        "tostring": lua_tostring,
+        "tonumber": _tonumber,
+        "type": _lua_type,
+        "pairs": _pairs,
+        "ipairs": _ipairs,
+        "error": _lua_error,
+        "assert": _lua_assert,
+        "pcall": None,  # installed by Interp (needs evaluator)
+        "unpack": _unpack,
+    }
+    return g
+
+
+import random as _random_mod  # noqa: E402
+
+_rng = _random_mod.Random(0)
+
+
+def _math_random(m=None, n=None):
+    if m is None:
+        return _rng.random()
+    if n is None:
+        return float(_rng.randint(1, int(m)))
+    return float(_rng.randint(int(m), int(n)))
+
+
+def _string_format(fmt, *args):
+    out = []
+    ai = 0
+    i = 0
+    while i < len(fmt):
+        c = fmt[i]
+        if c == "%" and i + 1 < len(fmt):
+            j = i + 1
+            while j < len(fmt) and fmt[j] in "-+ #0123456789.":
+                j += 1
+            spec = fmt[i:j + 1]
+            k = fmt[j]
+            a = args[ai] if ai < len(args) else None
+            ai += 1
+            if k in "di":
+                out.append((spec[:-1] + "d") % int(a))
+            elif k in "fgGeE":
+                out.append((spec) % float(a))
+            elif k == "s":
+                out.append((spec) % lua_tostring(a))
+            elif k == "x" or k == "X":
+                out.append((spec) % int(a))
+            elif k == "%":
+                out.append("%")
+                ai -= 1
+            else:
+                raise LuaError(f"bad format spec {spec!r}")
+            i = j + 1
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def _string_sub(s, i, j):
+    i, j = int(i), int(j)
+    n = len(s)
+    if i < 0:
+        i = max(n + i + 1, 1)
+    elif i == 0:
+        i = 1
+    if j < 0:
+        j = n + j + 1
+    elif j > n:
+        j = n
+    return s[i - 1:j] if i <= j else ""
+
+
+def _table_insert(t, a, b=None):
+    if b is None:
+        t.set(t.length() + 1, a)
+    else:
+        n = int(t.length())
+        pos = int(a)
+        for k in range(n, pos - 1, -1):
+            t.set(k + 1, t.get(k))
+        t.set(pos, b)
+
+
+def _table_remove(t, pos=None):
+    n = int(t.length())
+    if n == 0:
+        return None
+    pos = n if pos is None else int(pos)
+    v = t.get(pos)
+    for k in range(pos, n):
+        t.set(k, t.get(k + 1))
+    t.set(n, None)
+    return v
+
+
+def _table_concat(t, sep=""):
+    n = int(t.length())
+    return sep.join(lua_tostring(t.get(k)) for k in range(1, n + 1))
+
+
+def _tonumber(v, base=None):
+    try:
+        if base is not None:
+            return float(int(str(v), int(base)))
+        if isinstance(v, float):
+            return v
+        return float(str(v).strip())
+    except (TypeError, ValueError):
+        return None
+
+
+def _lua_type(v):
+    if v is None:
+        return "nil"
+    if isinstance(v, bool):
+        return "boolean"
+    if isinstance(v, float):
+        return "number"
+    if isinstance(v, str):
+        return "string"
+    if isinstance(v, LuaTable):
+        return "table"
+    return "function"
+
+
+def _pairs(t):
+    items = iter(list(t.hash.items()))
+
+    def nxt(*_):
+        try:
+            k, v = next(items)
+            return (float(k) if isinstance(k, int) else k, v)
+        except StopIteration:
+            return None
+    return (nxt, t, None)
+
+
+def _ipairs(t):
+    def nxt(tt, i):
+        i = (i or 0.0) + 1.0
+        v = tt.get(i)
+        return None if v is None else (i, v)
+    return (nxt, t, 0.0)
+
+
+def _lua_error(msg, _level=None):
+    raise LuaError(lua_tostring(msg))
+
+
+def _lua_assert(v, msg=None):
+    if v is None or v is False:
+        raise LuaError(lua_tostring(msg) if msg is not None
+                       else "assertion failed!")
+    return v
+
+
+def _unpack(t, i=1.0, j=None):
+    j = t.length() if j is None else j
+    return tuple(t.get(k) for k in range(int(i), int(j) + 1))
+
+
+class Interp:
+    """Evaluator. `globals_` maps names to values; python callables are
+    first-class Lua functions (args in, single value or tuple out)."""
+
+    def __init__(self, bindings: dict | None = None):
+        self.g = _stdlib()
+        self.g["pcall"] = self._pcall
+        if bindings:
+            self.g.update(bindings)
+
+    # -- public ---------------------------------------------------------------
+    def run(self, src: str, chunkname: str = "?"):
+        ast = Parser(tokenize(src)).parse_chunk()
+        try:
+            self.exec_block(ast, Scope())
+        except _Return:
+            pass
+
+    def call(self, fn, *args):
+        return self._call(fn, list(args))
+
+    # -- helpers ---------------------------------------------------------------
+    def _pcall(self, fn, *args):
+        try:
+            r = self._call(fn, list(args))
+            if isinstance(r, tuple):
+                return (True,) + r
+            return (True, r) if r is not None else (True,)
+        except LuaError as e:
+            return (False, str(e))
+
+    def _call(self, fn, args):
+        if isinstance(fn, LuaFunction):
+            sc = Scope(fn.env)
+            for i, p in enumerate(fn.params):
+                sc.vars[p] = args[i] if i < len(args) else None
+            if fn.vararg:
+                sc.vars["..."] = tuple(args[len(fn.params):])
+            try:
+                self.exec_block(fn.body, sc)
+            except _Return as r:
+                vs = r.values
+                if len(vs) == 0:
+                    return None
+                if len(vs) == 1:
+                    return vs[0]
+                return tuple(vs)
+            return None
+        if callable(fn):
+            r = fn(*args)
+            return r
+        raise LuaError(f"attempt to call a {_lua_type(fn)} value")
+
+    # -- statements -------------------------------------------------------------
+    def exec_block(self, block, scope):
+        for st in block[1]:
+            self.exec_stmt(st, scope)
+
+    def exec_stmt(self, st, scope):
+        op = st[0]
+        if op == "exprstat":
+            self.eval(st[1], scope)
+        elif op == "assign":
+            vals = self._evallist(st[2], scope, len(st[1]))
+            for tgt, v in zip(st[1], vals):
+                self._settarget(tgt, v, scope)
+        elif op == "local":
+            vals = self._evallist(st[2], scope, len(st[1]))
+            for name, v in zip(st[1], vals):
+                scope.vars[name] = v
+        elif op == "localfunc":
+            scope.vars[st[1]] = None
+            scope.vars[st[1]] = self.eval(st[2], scope)
+        elif op == "assignfunc":
+            self._settarget(st[1], self.eval(st[2], scope), scope)
+        elif op == "if":
+            for cond, body in st[1]:
+                if _truthy(self.eval1(cond, scope)):
+                    return self.exec_block(body, Scope(scope))
+            return self.exec_block(st[2], Scope(scope))
+        elif op == "while":
+            while _truthy(self.eval1(st[1], scope)):
+                try:
+                    self.exec_block(st[2], Scope(scope))
+                except _Break:
+                    break
+        elif op == "repeat":
+            while True:
+                sc = Scope(scope)
+                try:
+                    self.exec_block(st[1], sc)
+                except _Break:
+                    break
+                if _truthy(self.eval1(st[2], sc)):
+                    break
+        elif op == "fornum":
+            start = _num(self.eval1(st[2], scope))
+            stop = _num(self.eval1(st[3], scope))
+            step = _num(self.eval1(st[4], scope))
+            i = start
+            while (step > 0 and i <= stop) or (step < 0 and i >= stop):
+                sc = Scope(scope)
+                sc.vars[st[1]] = i
+                try:
+                    self.exec_block(st[5], sc)
+                except _Break:
+                    break
+                i += step
+        elif op == "forin":
+            vals = self._evallist(st[2], scope, 3)
+            f, s, ctl = vals[0], vals[1], vals[2]
+            while True:
+                r = self._call(f, [s, ctl])
+                if r is None:
+                    break
+                rs = r if isinstance(r, tuple) else (r,)
+                if rs[0] is None:
+                    break
+                ctl = rs[0]
+                sc = Scope(scope)
+                for i, name in enumerate(st[1]):
+                    sc.vars[name] = rs[i] if i < len(rs) else None
+                try:
+                    self.exec_block(st[3], sc)
+                except _Break:
+                    break
+        elif op == "return":
+            vals = self._evallist(st[1], scope, -1)
+            raise _Return(vals)
+        elif op == "break":
+            raise _Break()
+        elif op == "do":
+            self.exec_block(st[1], Scope(scope))
+        else:
+            raise LuaError(f"unknown statement {op}")
+
+    def _settarget(self, tgt, v, scope):
+        if tgt[0] == "name":
+            sc = scope.lookup(tgt[1])
+            if sc is not None:
+                sc.vars[tgt[1]] = v
+            else:
+                self.g[tgt[1]] = v
+        elif tgt[0] == "index":
+            t = self.eval1(tgt[1], scope)
+            k = self.eval1(tgt[2], scope)
+            if not isinstance(t, LuaTable):
+                raise LuaError(f"attempt to index a {_lua_type(t)} value")
+            t.set(k, v)
+        else:
+            raise LuaError("cannot assign to this expression")
+
+    def _evallist(self, exprs, scope, want):
+        """Evaluate an expression list; the last call/vararg expands."""
+        vals = []
+        for i, e in enumerate(exprs):
+            v = self.eval(e, scope)
+            if i == len(exprs) - 1 and isinstance(v, tuple):
+                vals.extend(v)
+            else:
+                vals.append(v[0] if isinstance(v, tuple) and v else
+                            (None if isinstance(v, tuple) else v))
+        if want >= 0:
+            while len(vals) < want:
+                vals.append(None)
+        return vals
+
+    # -- expressions ---------------------------------------------------------
+    def eval1(self, e, scope):
+        v = self.eval(e, scope)
+        if isinstance(v, tuple):
+            return v[0] if v else None
+        return v
+
+    def eval(self, e, scope):
+        op = e[0]
+        if op == "const":
+            v = e[1]
+            return float(v) if isinstance(v, (int,)) and not \
+                isinstance(v, bool) else v
+        if op == "name":
+            sc = scope.lookup(e[1])
+            if sc is not None:
+                return sc.vars[e[1]]
+            return self.g.get(e[1])
+        if op == "paren":
+            return self.eval1(e[1], scope)
+        if op == "index":
+            t = self.eval1(e[1], scope)
+            k = self.eval1(e[2], scope)
+            if isinstance(t, LuaTable):
+                return t.get(k)
+            if t is None:
+                raise LuaError("attempt to index a nil value")
+            raise LuaError(f"attempt to index a {_lua_type(t)} value")
+        if op == "call":
+            fn = self.eval1(e[1], scope)
+            args = self._evallist(e[2], scope, -1)
+            return self._call(fn, args)
+        if op == "methcall":
+            obj = self.eval1(e[1], scope)
+            if not isinstance(obj, LuaTable):
+                raise LuaError("method call on non-table")
+            fn = obj.get(e[2])
+            args = [obj] + self._evallist(e[3], scope, -1)
+            return self._call(fn, args)
+        if op == "function":
+            return LuaFunction(e[1], e[2], e[3], scope)
+        if op == "vararg":
+            sc = scope.lookup("...")
+            return sc.vars["..."] if sc else ()
+        if op == "table":
+            t = LuaTable()
+            n = 0
+            items = e[1]
+            for i, it in enumerate(items):
+                if it[0] == "kv":
+                    t.set(self.eval1(it[1], scope),
+                          self.eval1(it[2], scope))
+                else:
+                    v = self.eval(it[1], scope)
+                    if i == len(items) - 1 and isinstance(v, tuple):
+                        for x in v:
+                            n += 1
+                            t.set(float(n), x)
+                    else:
+                        if isinstance(v, tuple):
+                            v = v[0] if v else None
+                        n += 1
+                        t.set(float(n), v)
+            return t
+        if op == "unop":
+            v = self.eval1(e[2], scope)
+            if e[1] == "not":
+                return not _truthy(v)
+            if e[1] == "-":
+                return -_num(v)
+            if e[1] == "#":
+                if isinstance(v, str):
+                    return float(len(v))
+                if isinstance(v, LuaTable):
+                    return v.length()
+                raise LuaError("attempt to get length of a "
+                               f"{_lua_type(v)} value")
+        if op == "binop":
+            o = e[1]
+            if o == "and":
+                lhs = self.eval1(e[2], scope)
+                return self.eval1(e[3], scope) if _truthy(lhs) else lhs
+            if o == "or":
+                lhs = self.eval1(e[2], scope)
+                return lhs if _truthy(lhs) else self.eval1(e[3], scope)
+            a = self.eval1(e[2], scope)
+            b = self.eval1(e[3], scope)
+            if o == "==":
+                return _lua_eq(a, b)
+            if o == "~=":
+                return not _lua_eq(a, b)
+            if o == "..":
+                return _str_or_num(a) + _str_or_num(b)
+            if o in ("<", ">", "<=", ">="):
+                if isinstance(a, str) and isinstance(b, str):
+                    pass
+                else:
+                    a, b = _num(a), _num(b)
+                return {"<": a < b, ">": a > b,
+                        "<=": a <= b, ">=": a >= b}[o]
+            a, b = _num(a), _num(b)
+            if o == "+":
+                return a + b
+            if o == "-":
+                return a - b
+            if o == "*":
+                return a * b
+            if o == "/":
+                return a / b if b != 0 else math.copysign(
+                    math.inf, a) if a != 0 else math.nan
+            if o == "%":
+                return a - math.floor(a / b) * b if b != 0 else math.nan
+            if o == "^":
+                return float(a) ** float(b)
+        raise LuaError(f"unknown expression {op}")
+
+
+def _truthy(v):
+    return v is not None and v is not False
+
+
+def _num(v):
+    if isinstance(v, float):
+        return v
+    if isinstance(v, bool) or v is None:
+        raise LuaError(f"attempt to perform arithmetic on a "
+                       f"{_lua_type(v)} value")
+    if isinstance(v, str):
+        n = _tonumber(v)
+        if n is None:
+            raise LuaError("attempt to perform arithmetic on a string")
+        return n
+    raise LuaError(f"attempt to perform arithmetic on a {_lua_type(v)}")
+
+
+def _str_or_num(v):
+    if isinstance(v, str):
+        return v
+    if isinstance(v, float):
+        return lua_tostring(v)
+    raise LuaError(f"attempt to concatenate a {_lua_type(v)} value")
+
+
+def _lua_eq(a, b):
+    if isinstance(a, bool) or isinstance(b, bool):
+        return a is b
+    return a == b
+
+
+class LuaScript:
+    """Run a Lua game script against the engine bindings - the reference
+    contract: top-level runs at load; on_tick(sec, dt) every frame,
+    missing/failing on_tick is fatal (script.h:86-97, main.c:127-140)."""
+
+    def __init__(self, api, path: str):
+        from .api import ScriptError
+
+        self._ScriptError = ScriptError
+        bindings = {}
+        for name, fn in api.bindings().items():
+            bindings[name] = self._wrap(fn)
+        self.interp = Interp(bindings)
+        with open(path) as f:
+            src = f.read()
+        self.interp.run(src, path)
+        if self.interp.g.get("on_tick") is None:
+            raise ScriptError("on_tick not defined")
+
+    @staticmethod
+    def _wrap(fn):
+        def wrapped(*args):
+            r = fn(*args)
+            if isinstance(r, int) and not isinstance(r, bool):
+                return float(r)
+            return r
+        return wrapped
+
+    def on_tick(self, sec: float, dt: float) -> None:
+        try:
+            self.interp.call(self.interp.g["on_tick"], float(sec),
+                             float(dt))
+        except LuaError as e:
+            raise self._ScriptError(f"on_tick broke ({e})") from e

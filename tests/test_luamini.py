@@ -1,0 +1,160 @@
+"""luamini: Lua 5.1 subset interpreter."""
+
+import os
+
+import numpy as np
+import pytest
+
+from pwnfps_tpu.script.api import EngineAPI, PythonScript, ScriptError
+from pwnfps_tpu.script.luamini import Interp, LuaError, LuaScript, LuaTable
+from pwnfps_tpu.world.levelc import load_level
+from pwnfps_tpu.world.objects import ObjectPool
+
+REF_GAME = "/root/reference/game.lua"
+ASSETS = os.path.join(os.path.dirname(__file__), "..", "assets")
+
+
+def run(src, bindings=None):
+    it = Interp(bindings)
+    it.run(src)
+    return it
+
+
+def test_basics():
+    it = run("""
+        x = 1 + 2*3 - 4/2
+        s = "a" .. "b" .. 1
+        t = {10, 20, x = 5, [7] = 8}
+        n = #t
+        neg = -x ^ 2
+        b = (1 < 2) and (2 ~= 3) and not false
+    """)
+    assert it.g["x"] == 5.0
+    assert it.g["s"] == "ab1"
+    assert it.g["t"].get(2.0) == 20.0 and it.g["t"].get("x") == 5.0
+    assert it.g["n"] == 2.0
+    assert it.g["neg"] == -25.0       # ^ binds tighter than unary -
+    assert it.g["b"] is True
+
+
+def test_control_flow():
+    it = run("""
+        acc = 0
+        for i = 1, 10 do acc = acc + i end
+        j = 0
+        while j < 5 do j = j + 1 end
+        k = 0
+        repeat k = k + 2 until k >= 7
+        if acc == 55 then r = "yes" elseif acc > 0 then r = "pos"
+        else r = "no" end
+        brk = 0
+        for i = 1, 100 do brk = i if i == 3 then break end end
+    """)
+    assert it.g["acc"] == 55.0
+    assert it.g["j"] == 5.0 and it.g["k"] == 8.0
+    assert it.g["r"] == "yes"
+    assert it.g["brk"] == 3.0
+
+
+def test_functions_closures_multret():
+    it = run("""
+        function add(a, b) return a + b end
+        local function mk(n)
+            return function(x) return x + n end
+        end
+        inc = mk(10)
+        function two() return 1, 2 end
+        a, b = two()
+        c = (two())
+        t = {two()}
+        m = math.max(3, 9, 4)
+        fl = math.floor(2.9)
+        fm = math.fmod(7.5, 0.5)
+    """)
+    assert it.g["add"] is not None
+    assert it.call(it.g["add"], 2.0, 3.0) == 5.0
+    assert it.call(it.g["inc"], 5.0) == 15.0
+    assert it.g["a"] == 1.0 and it.g["b"] == 2.0
+    assert it.g["c"] == 1.0                  # parens truncate multret
+    assert it.g["t"].length() == 2.0
+    assert it.g["m"] == 9.0 and it.g["fl"] == 2.0 and it.g["fm"] == 0.0
+
+
+def test_stdlib_and_strings():
+    it = run("""
+        s = string.format("%d/%s/%.2f", 7, "x", 1.5)
+        sub = string.sub("hello", 2, 4)
+        t = {}
+        table.insert(t, "a")
+        table.insert(t, "b")
+        table.insert(t, 1, "z")
+        first = table.remove(t, 1)
+        joined = table.concat(t, "-")
+        n = tonumber("42") + tonumber("0x10", 16)
+        ty = type({}) .. type("") .. type(1) .. type(nil)
+        ok, err = pcall(function() error("boom") end)
+    """)
+    assert it.g["s"] == "7/x/1.50"
+    assert it.g["sub"] == "ell"
+    assert it.g["first"] == "z"
+    assert it.g["joined"] == "a-b"
+    assert it.g["n"] == 58.0
+    assert it.g["ty"] == "tablestringnumbernil"
+    assert it.g["ok"] is False and "boom" in it.g["err"]
+
+
+def test_pairs_ipairs():
+    it = run("""
+        t = {4, 5, 6}
+        sum = 0
+        for i, v in ipairs(t) do sum = sum + i * v end
+        cnt = 0
+        for k, v in pairs({a=1, b=2}) do cnt = cnt + v end
+    """)
+    assert it.g["sum"] == 1 * 4 + 2 * 5 + 3 * 6
+    assert it.g["cnt"] == 3.0
+
+
+def test_python_bindings_roundtrip():
+    calls = []
+    it = run("r = hello(1, 'x') + 1", {"hello": lambda a, b:
+                                       calls.append((a, b)) or 41.0})
+    assert it.g["r"] == 42.0 and calls == [(1.0, "x")]
+
+
+def test_errors():
+    with pytest.raises(LuaError):
+        run("x = nil + 1")
+    with pytest.raises(LuaError):
+        run("local t = nil t.x = 1")
+    with pytest.raises(LuaError):
+        run("f()")
+
+
+@pytest.mark.skipif(not os.path.exists(REF_GAME),
+                    reason="reference game.lua unavailable")
+def test_reference_game_lua_verbatim():
+    """The unmodified reference game.lua must run and match the Python
+    twin's creature behaviour exactly."""
+    lv = load_level("/root/reference/level.txt")
+    pool_l = ObjectPool()
+    lua = LuaScript(EngineAPI(lv, pool_l), REF_GAME)
+    assert pool_l.objs_num == 14
+    pool_p = ObjectPool()
+    py = PythonScript(EngineAPI(lv, pool_p),
+                      os.path.join(ASSETS, "scripts", "game.py"))
+    sec = 0.0
+    for _ in range(900):
+        sec += 1 / 60
+        lua.on_tick(sec, 1 / 60)
+        py.on_tick(sec, 1 / 60)
+    assert np.abs(pool_l.pos[:14] - pool_p.pos[:14]).max() < 1e-6
+    np.testing.assert_allclose(pool_l.col[:14], pool_p.col[:14])
+
+
+def test_lua_script_missing_on_tick(tmp_path):
+    lv = load_level(os.path.join(ASSETS, "levels", "demo.txt"))
+    bad = tmp_path / "bad.lua"
+    bad.write_text("x = 1\n")
+    with pytest.raises(ScriptError):
+        LuaScript(EngineAPI(lv, ObjectPool()), str(bad))
