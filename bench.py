@@ -62,7 +62,9 @@ def main() -> int:
     static_word = W.pack_static_word(lv)
     world, meta = W.build_world(lv, sph, tables, static_word)
     world = jax.tree.map(jnp.asarray, world)
-    cfg = RenderConfig(width=width, height=height, parity=False)
+    backend = os.environ.get("PWNFPS_BENCH_BACKEND", "pallas")
+    cfg = RenderConfig(width=width, height=height, parity=False,
+                       backend=backend)
 
     cam = mat4_identity()
     sx, sz = lv.spawn

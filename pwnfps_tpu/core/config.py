@@ -66,8 +66,9 @@ class RenderConfig:
     # backend: "jnp" (XLA, the reference/parity path) or "pallas"
     # (Mosaic kernel, the fast path; implies parity=False).
     backend: str = "jnp"
-    # DDA steps executed per early-exit check in the batched tracer.
-    step_chunk: int = 16
+    # DDA steps executed per while-loop iteration (amortizes the Mosaic
+    # loop-carry cost; the early-exit check runs once per chunk).
+    step_chunk: int = 1
 
     @property
     def n_waves(self) -> int:

@@ -79,6 +79,7 @@ class SegState(NamedTuple):
     ray: V3
     iavel: V3
     wdist: V3
+    fields: CellFields        # decoded channels of the current cell
     gx: jnp.ndarray
     gy: jnp.ndarray
     gz: jnp.ndarray
@@ -100,6 +101,7 @@ class SegState(NamedTuple):
     tdist: jnp.ndarray
     tpos: V3
     tray: V3
+    tstep: jnp.ndarray        # step index at termination (profiling)
 
 
 class SegOut(NamedTuple):
@@ -110,13 +112,19 @@ class SegOut(NamedTuple):
     tdist: jnp.ndarray
     tpos: V3
     tray: V3
+    tstep: jnp.ndarray
     aux_refl: jnp.ndarray
     aux_pos: V3
     aux_norm: V3
     aux_col: C4
 
 
-def init_segment(ifrom: V3, iray: V3, active, math: Math) -> SegState:
+def _sel_fields(m, a: CellFields, b: CellFields) -> CellFields:
+    return CellFields(*(jnp.where(m, x, y) for x, y in zip(a, b)))
+
+
+def init_segment(ifrom: V3, iray: V3, active, env: Env) -> SegState:
+    math = env.math
     ray = normalise_sse(iray, math.rsq)
     eps = F32(EPSILON)
 
@@ -144,13 +152,15 @@ def init_segment(ifrom: V3, iray: V3, active, math: Math) -> SegState:
     z3 = V3(z1, z1, z1)
     zi = jnp.zeros_like(cx)
     return SegState(
-        pos=ifrom, ray=ray, iavel=iavel, wdist=wdist, gx=gx, gy=gy, gz=gz,
+        pos=ifrom, ray=ray, iavel=iavel, wdist=wdist,
+        fields=env.fetch(cx, cz),
+        gx=gx, gy=gy, gz=gz,
         cx=cx, cz=cz, cdist=z1, fog=z1, ldir=zi + FYN,
         active=active.astype(I32),
         aux_dist=z1 - F32(1.0), aux_refl=z1 + F32(0.25),
         aux_pos=z3, aux_norm=z3, aux_col=C4(one, one, one, one),
         tkind=zi, tldir=zi, tcolid=zi, tfog=z1, tdist=z1, tpos=z3,
-        tray=ray)
+        tray=ray, tstep=zi)
 
 
 def _terminate(s: SegState, mask, kind, ldir=None, colid=None, fog=None,
@@ -170,13 +180,18 @@ def _terminate(s: SegState, mask, kind, ldir=None, colid=None, fog=None,
 
 def segment_body(s: SegState, env: Env, cfg: RenderConfig) -> SegState:
     """One DDA step for every active ray (trace.h:250-675)."""
-    f = env.fetch(s.cx, s.cz)
+    f = s.fields          # fetched when the ray last moved (one gather/step)
     inb = (s.cx >= 0) & (s.cx < 64) & (s.cz >= 0) & (s.cz < 64)
     cls = f.cls
     pkind, prot, pdcx, pdcz = f.pkind, f.prot, f.pdcx, f.pdcz
 
     if env.sphere_pass is not None:
-        s = env.sphere_pass(s, inb, f)
+        # skip the whole sphere block unless some active ray stands in a
+        # bucketed cell (tile-uniform branch on the pallas path)
+        any_sph = jnp.max(jnp.where((s.active != 0) & inb, f.nsph, 0)) > 0
+        s = jax.lax.cond(any_sph,
+                         lambda op: env.sphere_pass(*op),
+                         lambda op: op[0], (s, inb, f))
 
     is_floorish = (cls == W.FLOOR) | (cls == W.FOG) | (cls == W.LOWER)
     is_tall = (cls == W.TALL) | (cls == W.TALLFOG)
@@ -279,8 +294,57 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig) -> SegState:
         * iavel.y
     wny = jnp.where(ramp_go & stepped, wy_post, wny)
 
-    # ---- new-cell fetch + transitions (floor<->tall shifts) ---------------
-    f2 = env.fetch(cx2, cz2)
+    # ---- portal traversal targets (trace.h:507-650), computed early so
+    # the landing cell shares the single per-step fetch below -------------
+    pgo = act & is_portal & (pkind == 1)
+    cxp = s.cx + pdcx
+    czp = s.cz + pdcz
+    px_t = pos.x + pdcx.astype(F32)
+    pz_t = pos.z + pdcz.astype(F32)
+    rot = prot
+    ldir_p = (s.ldir - rot) & 3
+    cxh = cxp.astype(F32) + F32(0.5)
+    czh = czp.astype(F32) + F32(0.5)
+    trx, trz = px_t, pz_t
+    tvx, tvz = ray.x, ray.z
+    twx, twz = wdist.x, wdist.z
+    tix, tiz = iavel.x, iavel.z
+    r1, r2, r3 = rot == 1, rot == 2, rot == 3
+    px_r = jnp.where(r1, cxh + (trz - czh),
+                     jnp.where(r2, cxh * F32(2.0) - px_t,
+                               jnp.where(r3, cxh - (trz - czh), px_t)))
+    pz_r = jnp.where(r1, czh - (trx - cxh),
+                     jnp.where(r2, czh * F32(2.0) - pz_t,
+                               jnp.where(r3, czh + (trx - cxh), pz_t)))
+    vx_r = jnp.where(r1, tvz, jnp.where(r2, -tvx,
+                                        jnp.where(r3, -tvz, tvx)))
+    vz_r = jnp.where(r1, -tvx, jnp.where(r2, -tvz,
+                                         jnp.where(r3, tvx, tvz)))
+    gx_r = jnp.where(r1, gz, jnp.where(r2, -gx, jnp.where(r3, -gz, gx)))
+    gz_r = jnp.where(r1, -gx, jnp.where(r2, -gz, jnp.where(r3, gx, gz)))
+    swap = r1 | r3
+    wx_r = jnp.where(swap, twz, twx)
+    wz_r = jnp.where(swap, twx, twz)
+    ix_r = jnp.where(swap, tiz, tix)
+    iz_r = jnp.where(swap, tix, tiz)
+    # advance one cell along the rotated ldir (default case is FXP)
+    step_dx = jnp.where(ldir_p == FZP, 0,
+                        jnp.where(ldir_p == FXN, -1,
+                                  jnp.where(ldir_p == FZN, 0, 1)))
+    step_dz = jnp.where(ldir_p == FZP, 1,
+                        jnp.where(ldir_p == FZN, -1, 0))
+    px_f = px_r + step_dx.astype(F32)
+    pz_f = pz_r + step_dz.astype(F32)
+    cx_f = cxp + step_dx
+    cz_f = czp + step_dz
+
+    # ---- the ONE per-step fetch: landing cell of steppers & portal rays --
+    tgt_cx = jnp.where(pgo, cx_f, jnp.where(stepped, cx2, s.cx))
+    tgt_cz = jnp.where(pgo, cz_f, jnp.where(stepped, cz2, s.cz))
+    f_next = env.fetch(tgt_cx, tgt_cz)
+
+    # ---- transitions (floor<->tall shifts) --------------------------------
+    f2 = f_next
     ncls = f2.cls
     n_tall = (ncls == W.TALL) | (ncls == W.TALLFOG)
     n_lower = ncls == W.LOWER
@@ -326,48 +390,6 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig) -> SegState:
                        fog=s.fog, dist=s.cdist, pos=pos, ray=ray)
     act = s.active != 0
 
-    pgo = act & is_portal & (pkind == 1)
-    cxp = s.cx + pdcx
-    czp = s.cz + pdcz
-    px_t = pos.x + pdcx.astype(F32)
-    pz_t = pos.z + pdcz.astype(F32)
-    rot = prot
-    ldir_p = (s.ldir - rot) & 3
-    cxh = cxp.astype(F32) + F32(0.5)
-    czh = czp.astype(F32) + F32(0.5)
-    trx, trz = px_t, pz_t
-    tvx, tvz = ray.x, ray.z
-    twx, twz = wdist.x, wdist.z
-    tix, tiz = iavel.x, iavel.z
-    r1, r2, r3 = rot == 1, rot == 2, rot == 3
-    px_r = jnp.where(r1, cxh + (trz - czh),
-                     jnp.where(r2, cxh * F32(2.0) - px_t,
-                               jnp.where(r3, cxh - (trz - czh), px_t)))
-    pz_r = jnp.where(r1, czh - (trx - cxh),
-                     jnp.where(r2, czh * F32(2.0) - pz_t,
-                               jnp.where(r3, czh + (trx - cxh), pz_t)))
-    vx_r = jnp.where(r1, tvz, jnp.where(r2, -tvx,
-                                        jnp.where(r3, -tvz, tvx)))
-    vz_r = jnp.where(r1, -tvx, jnp.where(r2, -tvz,
-                                         jnp.where(r3, tvx, tvz)))
-    gx_r = jnp.where(r1, gz, jnp.where(r2, -gx, jnp.where(r3, -gz, gx)))
-    gz_r = jnp.where(r1, -gx, jnp.where(r2, -gz, jnp.where(r3, gx, gz)))
-    swap = r1 | r3
-    wx_r = jnp.where(swap, twz, twx)
-    wz_r = jnp.where(swap, twx, twz)
-    ix_r = jnp.where(swap, tiz, tix)
-    iz_r = jnp.where(swap, tix, tiz)
-    # advance one cell along the rotated ldir (default case is FXP)
-    step_dx = jnp.where(ldir_p == FZP, 0,
-                        jnp.where(ldir_p == FXN, -1,
-                                  jnp.where(ldir_p == FZN, 0, 1)))
-    step_dz = jnp.where(ldir_p == FZP, 1,
-                        jnp.where(ldir_p == FZN, -1, 0))
-    px_f = px_r + step_dx.astype(F32)
-    pz_f = pz_r + step_dz.astype(F32)
-    cx_f = cxp + step_dx
-    cz_f = czp + step_dz
-
     # ---- plain wall (trace.h:651-664) --------------------------------------
     wallm = act & is_wall
     sphw = wallm & has_aux & (s.cdist > s.aux_dist)
@@ -399,8 +421,10 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig) -> SegState:
     new_cd = jnp.where(cont2, cdist2, s.cdist)
     new_fog = jnp.where(cont2, fog2, s.fog)
     new_ld = jnp.where(cont2, ldir3, jnp.where(pgo2, ldir_p, s.ldir))
+    new_f = _sel_fields(cont2 | pgo2, f_next, f)
 
     s = s._replace(pos=new_pos, ray=new_ray, wdist=new_wd, iavel=new_ia,
+                   fields=new_f,
                    gx=new_gx, gz=new_gz, cx=new_cx, cz=new_cz,
                    cdist=new_cd, fog=new_fog, ldir=new_ld)
 
@@ -414,7 +438,7 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig) -> SegState:
 
 def run_segment(env: Env, cfg: RenderConfig, ifrom: V3, iray: V3,
                 active) -> SegOut:
-    s0 = init_segment(ifrom, iray, active, env.math)
+    s0 = init_segment(ifrom, iray, active, env)
     n_act0 = jnp.sum(active.astype(I32))
 
     def cond(carry):
@@ -423,16 +447,22 @@ def run_segment(env: Env, cfg: RenderConfig, ifrom: V3, iray: V3,
 
     def body(carry):
         step, n_act, s = carry
-        s = segment_body(s, env, cfg)
-        return (step + 1, jnp.sum(s.active), s)
+        for k in range(max(1, cfg.step_chunk)):
+            prev = s.active
+            s = segment_body(s, env, cfg)
+            died = (prev != 0) & (s.active == 0)
+            s = s._replace(tstep=jnp.where(died, step + 1 + k, s.tstep))
+        return (step + max(1, cfg.step_chunk), jnp.sum(s.active), s)
 
     _, _, s = jax.lax.while_loop(cond, body, (jnp.int32(0), n_act0, s0))
     # still-active rays ran out of steps: sky colour = current ray dir
     left = s.active != 0
     s = s._replace(tkind=jnp.where(left, T_SKY, s.tkind),
-                   tray=s.ray.where(left, s.tray))
+                   tray=s.ray.where(left, s.tray),
+                   tstep=jnp.where(left, cfg.maxsteps, s.tstep))
     return SegOut(tkind=s.tkind, tldir=s.tldir, tcolid=s.tcolid,
                   tfog=s.tfog, tdist=s.tdist, tpos=s.tpos, tray=s.tray,
+                  tstep=s.tstep,
                   aux_refl=s.aux_refl, aux_pos=s.aux_pos,
                   aux_norm=s.aux_norm, aux_col=s.aux_col)
 

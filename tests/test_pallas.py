@@ -1,0 +1,82 @@
+"""Pallas kernel backend: differential vs the jnp backend.
+
+On CPU the kernel runs in Mosaic interpret mode (tiny workload); on a
+real TPU (PWNFPS_TPU_TESTS=1, run outside this conftest) the same test
+covers the compiled kernel.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pwnfps_tpu.core.approx import SseTables
+from pwnfps_tpu.core.config import RenderConfig
+from pwnfps_tpu.ops import worlddev as W
+from pwnfps_tpu.ops.tracer_jnp import trace_wave
+from pwnfps_tpu.ops.tracer_pallas import trace_wave_pallas
+from pwnfps_tpu.ops.vec import V3
+from pwnfps_tpu.world.levelc import load_level
+
+from .test_tracer_scalar import REF_LEVEL, make_spheres
+
+
+def _setup():
+    lv = load_level(REF_LEVEL)
+    sph, _ = make_spheres()
+    world, meta = W.build_world(lv, sph, SseTables.load())
+    return jax.tree.map(jnp.asarray, world), meta
+
+
+def _rays(n, seed0=11):
+    rng = np.random.default_rng(seed0)
+    bases = [(9.5, 0.5, 4.5), (9.5, 0.5, 5.5), (11.5, 0.5, 3.5),
+             (6.5, 0.5, 4.5)]
+    froms = np.zeros((n, 3), np.float32)
+    dirs = np.zeros((n, 3), np.float32)
+    for k in range(n):
+        b = bases[k % len(bases)]
+        froms[k] = [b[0] + rng.uniform(-0.4, 0.4),
+                    b[1] + rng.uniform(-0.1, 0.4),
+                    b[2] + rng.uniform(-0.4, 0.4)]
+        d = rng.normal(size=3)
+        d /= np.linalg.norm(d)
+        dirs[k] = [d[0], d[1] * 0.6, d[2]]
+    seeds = rng.integers(0, 2**31, n).astype(np.uint32)
+    fv = V3(*(jnp.asarray(froms[:, i]) for i in range(3)))
+    rv = V3(*(jnp.asarray(dirs[:, i]) for i in range(3)))
+    return fv, rv, jnp.asarray(seeds)
+
+
+def _col_np(c):
+    return np.stack([np.asarray(x) for x in c], axis=1)
+
+
+def test_pallas_matches_jnp():
+    on_tpu = jax.devices()[0].platform != "cpu"
+    world, meta = _setup()
+    # small workload + bounded steps so interpret mode stays tractable
+    n = 256 if on_tpu else 32
+    cfg = RenderConfig(parity=False,
+                       maxsteps=1000 if on_tpu else 48)
+    fv, rv, seeds = _rays(n)
+    sec = np.float32(2.5)
+    colj, distj = trace_wave(world, meta, cfg, fv, rv, seeds, sec)
+    colj, distj = _col_np(colj), np.asarray(distj)
+
+    if on_tpu:
+        colp, distp = trace_wave_pallas(world, meta, cfg, fv, rv, seeds,
+                                        sec)
+    else:
+        from jax.experimental.pallas import tpu as pltpu
+        with pltpu.force_tpu_interpret_mode():
+            colp, distp = trace_wave_pallas(world, meta, cfg, fv, rv,
+                                            seeds, sec)
+    colp, distp = _col_np(colp), np.asarray(distp)
+
+    bit = ((colp.view(np.uint32) == colj.view(np.uint32)).all(axis=1)
+           & (distp.view(np.uint32) == distj.view(np.uint32)))
+    assert bit.mean() == 1.0, (
+        f"{(~bit).sum()}/{n} rays differ; first "
+        f"{colp[~bit][0]} vs {colj[~bit][0]}")
