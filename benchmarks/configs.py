@@ -1,0 +1,221 @@
+#!/usr/bin/env python
+"""BASELINE.json benchmark configs, runnable individually or all.
+
+  parity     320x240 default level, scripted path, vs the CPU oracle
+  stress     1280x720, portal-chain level, recursive portal depth >= 8
+  maze       procedural 1024+-sector portal maze
+  multicam   64 agent viewpoints per step (RL-style rollouts)
+  ptrace     multi-bounce (reflect=6) 1080p with sample accumulation
+
+Timing is device-compute (3-pixel probe sync): this environment tunnels
+the TPU through a relay whose 8MB readback (~60ms) and sync dispatch
+(~30ms) would otherwise dominate; production hosts DMA this in <1ms.
+
+Usage: PYTHONPATH=.:$PYTHONPATH python benchmarks/configs.py [names...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def _setup(level, spheres_at=None):
+    import jax
+    import jax.numpy as jnp
+
+    from pwnfps_tpu.core.approx import SseTables
+    from pwnfps_tpu.ops import worlddev as W
+    from pwnfps_tpu.world.objects import ObjectPool
+
+    pool = ObjectPool()
+    if spheres_at is not None:
+        from tests.test_tracer_scalar import OPOS
+        for (x, y, z, r, b, g, rr, refl) in OPOS:
+            i = pool.obj_new()
+            pool.obj_set_sphere(i, r, refl, spheres_at[0] + x,
+                                spheres_at[1] + y, spheres_at[2] + z,
+                                b, g, rr)
+    sph = pool.prepare_render()
+    world, meta = W.build_world(level, sph, SseTables.load())
+    return jax.tree.map(jnp.asarray, world), meta
+
+
+def _time_frames(render, n=8):
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def probe(fb):
+        return fb[0, 0] + fb[fb.shape[0] // 2, fb.shape[1] // 2]
+
+    fb = render(0)
+    np.asarray(probe(fb))
+    ts = []
+    for k in range(n):
+        t0 = time.perf_counter()
+        fb = render(k + 1)
+        np.asarray(probe(fb))
+        ts.append(time.perf_counter() - t0)
+    ts = np.array(ts)
+    return dict(ms_mean=float(ts.mean() * 1e3),
+                ms_p50=float(np.percentile(ts, 50) * 1e3),
+                ms_p99=float(np.percentile(ts, 99) * 1e3),
+                fps=float(1.0 / ts.mean()))
+
+
+def _std_render(level, w, h, spheres_at, backend="pallas", reflect=2,
+                blur=1, cam_at=None, look=None):
+    import jax.numpy as jnp
+
+    from pwnfps_tpu.core.config import RenderConfig
+    from pwnfps_tpu.render.camera import (camera_vectors, mat4_identity,
+                                          mat4_roty)
+    from pwnfps_tpu.render.frame import render_frame
+
+    world, meta = _setup(level, spheres_at)
+    cfg = RenderConfig(width=w, height=h, backend=backend,
+                       reflect=reflect, postproc_blur=blur)
+    cam0 = mat4_identity()
+    sx, sz = level.spawn
+    cam0[3, :3] = cam_at or (sx + 0.5, 0.5, sz + 0.5)
+    if look:
+        mat4_roty(cam0, look)
+
+    def render(k):
+        cam = cam0.copy()
+        mat4_roty(cam, 0.05 * k)
+        o, rb, rx, ry = camera_vectors(cam, w, h)
+        fb, zb = render_frame(world, meta, cfg, jnp.asarray(o),
+                              jnp.asarray(rb), jnp.asarray(rx),
+                              jnp.asarray(ry), np.float32(0.016 * k))
+        return fb
+
+    return render
+
+
+def bench_parity():
+    """Config #1 is a correctness config: report pixel agreement."""
+    from pwnfps_tpu.utils import oracle
+    if not oracle.available():
+        return {"skipped": "no reference checkout"}
+    import jax.numpy as jnp
+
+    from pwnfps_tpu.core.config import RenderConfig
+    from pwnfps_tpu.render.camera import camera_vectors, mat4_identity, \
+        mat4_roty
+    from pwnfps_tpu.render.frame import render_frame
+    from pwnfps_tpu.world.levelc import load_level
+    from tests.test_tracer_scalar import make_spheres
+
+    lv = load_level("/root/reference/level.txt")
+    sph, sph8 = make_spheres()
+    world, meta = _setup(lv, (9.5, 0.3, 5.5))
+    cfg = RenderConfig(width=320, height=240, parity=True)
+    agree, maxd = [], 0
+    for k in range(3):
+        cam = mat4_identity()
+        sx, sz = lv.spawn
+        cam[3, :3] = (sx + 0.5, 0.5, sz + 0.5)
+        mat4_roty(cam, 0.8 * k)
+        sec = 0.4 * k
+        o, rb, rx, ry = camera_vectors(cam, 320, 240)
+        fb, zb = render_frame(world, meta, cfg, jnp.asarray(o),
+                              jnp.asarray(rb), jnp.asarray(rx),
+                              jnp.asarray(ry), np.float32(sec))
+        fb = np.ascontiguousarray(np.asarray(fb))
+        gold, _ = oracle.render_frames(
+            "/root/reference/level.txt",
+            [dict(sec=sec, cam=cam, spheres=sph8)], 320, 240)
+        agree.append(float((fb == gold[0]).mean()))
+        a8 = fb.view(np.uint8).astype(np.int16)
+        b8 = np.ascontiguousarray(gold[0]).view(np.uint8).astype(np.int16)
+        maxd = max(maxd, int(np.abs(a8 - b8).max()))
+    return {"pixel_agreement": float(np.mean(agree)),
+            "max_channel_delta": maxd, "frames": len(agree)}
+
+
+def bench_stress():
+    from pwnfps_tpu.world.procgen import make_portal_chain
+    lv = make_portal_chain(10)
+    render = _std_render(lv, 1280, 720, None,
+                         cam_at=(1.5, 0.5, 1.5), look=-1.5707964)
+    return _time_frames(render)
+
+
+def bench_maze():
+    from pwnfps_tpu.world.procgen import generate_maze
+    lv = generate_maze(seed=7)
+    sx, sz = lv.spawn
+    return _time_frames(_std_render(lv, 1280, 720,
+                                    (sx + 0.5, 0.3, sz + 0.5)))
+
+
+def bench_multicam():
+    import jax
+
+    from pwnfps_tpu.core.config import RenderConfig
+    from pwnfps_tpu.parallel.sharding import make_mesh, render_cameras
+    from pwnfps_tpu.render.camera import mat4_identity, mat4_roty
+    from pwnfps_tpu.world.levelc import load_level
+
+    path = "/root/reference/level.txt" if os.path.exists(
+        "/root/reference/level.txt") else os.path.join(
+        os.path.dirname(__file__), "..", "assets", "levels", "demo.txt")
+    lv = load_level(path)
+    world, meta = _setup(lv, (9.5, 0.3, 5.5))
+    cfg = RenderConfig(width=160, height=120, backend="pallas",
+                       postproc_blur=0)
+    mesh = make_mesh(1, 1, jax.devices()[:1])
+    cams = []
+    sx, sz = lv.spawn
+    for k in range(64):
+        c = mat4_identity()
+        c[3, :3] = (sx + 0.5, 0.5, sz + 0.5)
+        mat4_roty(c, 0.1 * k)
+        cams.append(c)
+    cams = np.stack(cams)
+    render_cameras(world, meta, cfg, cams, 0.1, mesh)   # warm
+    t0 = time.perf_counter()
+    n = 4
+    for k in range(n):
+        render_cameras(world, meta, cfg, cams, 0.1 * k, mesh)
+    dt = (time.perf_counter() - t0) / n
+    return dict(cams=64, res="160x120", ms_per_step=dt * 1e3,
+                cam_steps_per_sec=64 / dt)
+
+
+def bench_ptrace():
+    from pwnfps_tpu.world.levelc import load_level
+    path = "/root/reference/level.txt" if os.path.exists(
+        "/root/reference/level.txt") else os.path.join(
+        os.path.dirname(__file__), "..", "assets", "levels", "demo.txt")
+    lv = load_level(path)
+    return _time_frames(_std_render(lv, 1920, 1080, (9.5, 0.3, 5.5),
+                                    reflect=6), n=4)
+
+
+ALL = {"parity": bench_parity, "stress": bench_stress,
+       "maze": bench_maze, "multicam": bench_multicam,
+       "ptrace": bench_ptrace}
+
+
+def main(argv):
+    names = argv or list(ALL)
+    out = {}
+    for n in names:
+        t0 = time.time()
+        out[n] = ALL[n]()
+        out[n]["wall_s"] = round(time.time() - t0, 1)
+        print(json.dumps({n: out[n]}), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))

@@ -46,15 +46,15 @@ class Math(NamedTuple):
 
 
 class CellFields(NamedTuple):
-    """Decoded per-cell channels for the rays' current cells."""
+    """Per-cell channels needed on the common stepping path.
+
+    xcls2 compresses the behind-cell class for the 2-high wall check
+    (trace.h:404-440) to {0: other, 1: tall-like, 2: lower}; portal
+    fields live behind Env.fetch_portal (rare, fetched lazily)."""
 
     cls: jnp.ndarray
-    pkind: jnp.ndarray
-    prot: jnp.ndarray
-    pdcx: jnp.ndarray
-    pdcz: jnp.ndarray
-    xcls: jnp.ndarray
-    nsph: jnp.ndarray
+    xcls2: jnp.ndarray
+    nsph: jnp.ndarray       # >0 iff the cell has sphere buckets
     cell_idx: jnp.ndarray   # clamped flat index (for bucket lookups)
 
 
@@ -62,16 +62,24 @@ class Env(NamedTuple):
     """Backend services for the shared tracer semantics."""
 
     math: Math
-    fetch: Any        # fn(cx, cz) -> CellFields (OOB clamps to cell 0)
-    sphere_pass: Any  # fn(state, inb, fields) -> state  (may be None)
-    randfs: Any       # fn(seed) -> (seed, f32 value)
+    fetch: Any         # fn(cx, cz) -> CellFields (OOB clamps to cell 0)
+    fetch_portal: Any  # fn(cell_idx) -> (pkind, prot, pdcx, pdcz)
+    sphere_pass: Any   # fn(state, inb, fields) -> state  (may be None)
+    randfs: Any        # fn(seed) -> (seed, f32 value)
+
+
+def xcls_compress(xcls):
+    return jnp.where((xcls == W.TALL) | (xcls == W.TALLFOG), 1,
+                     jnp.where(xcls == W.LOWER, 2, 0))
 
 
 def decode_word(w, cell_idx) -> CellFields:
-    return CellFields(cls=W.w_cls(w), pkind=W.w_pkind(w),
-                      prot=W.w_prot(w), pdcx=W.w_pdcx(w),
-                      pdcz=W.w_pdcz(w), xcls=W.w_xcls(w),
+    return CellFields(cls=W.w_cls(w), xcls2=xcls_compress(W.w_xcls(w)),
                       nsph=W.w_nsph(w), cell_idx=cell_idx)
+
+
+def decode_portal_word(w):
+    return (W.w_pkind(w), W.w_prot(w), W.w_pdcx(w), W.w_pdcz(w))
 
 
 class SegState(NamedTuple):
@@ -183,7 +191,6 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig) -> SegState:
     f = s.fields          # fetched when the ray last moved (one gather/step)
     inb = (s.cx >= 0) & (s.cx < 64) & (s.cz >= 0) & (s.cz < 64)
     cls = f.cls
-    pkind, prot, pdcx, pdcz = f.pkind, f.prot, f.pdcx, f.pdcz
 
     if env.sphere_pass is not None:
         # skip the whole sphere block unless some active ray stands in a
@@ -294,49 +301,67 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig) -> SegState:
         * iavel.y
     wny = jnp.where(ramp_go & stepped, wy_post, wny)
 
-    # ---- portal traversal targets (trace.h:507-650), computed early so
-    # the landing cell shares the single per-step fetch below -------------
+    # ---- portal traversal targets (trace.h:507-650): the whole block -
+    # including the portal-field fetch - runs only when some active ray
+    # stands on a portal cell (tile-uniform branch on the pallas path)
+    any_portal = jnp.max(jnp.where(act & is_portal, 1, 0)) > 0
+
+    def portal_calc(_):
+        pkind, prot, pdcx, pdcz = env.fetch_portal(f.cell_idx)
+        cxp = s.cx + pdcx
+        czp = s.cz + pdcz
+        px_t = pos.x + pdcx.astype(F32)
+        pz_t = pos.z + pdcz.astype(F32)
+        rot = prot
+        ldir_p = (s.ldir - rot) & 3
+        cxh = cxp.astype(F32) + F32(0.5)
+        czh = czp.astype(F32) + F32(0.5)
+        trx, trz = px_t, pz_t
+        tvx, tvz = ray.x, ray.z
+        twx, twz = wdist.x, wdist.z
+        tix, tiz = iavel.x, iavel.z
+        r1, r2, r3 = rot == 1, rot == 2, rot == 3
+        px_r = jnp.where(r1, cxh + (trz - czh),
+                         jnp.where(r2, cxh * F32(2.0) - px_t,
+                                   jnp.where(r3, cxh - (trz - czh),
+                                             px_t)))
+        pz_r = jnp.where(r1, czh - (trx - cxh),
+                         jnp.where(r2, czh * F32(2.0) - pz_t,
+                                   jnp.where(r3, czh + (trx - cxh),
+                                             pz_t)))
+        vx_r = jnp.where(r1, tvz, jnp.where(r2, -tvx,
+                                            jnp.where(r3, -tvz, tvx)))
+        vz_r = jnp.where(r1, -tvx, jnp.where(r2, -tvz,
+                                             jnp.where(r3, tvx, tvz)))
+        gx_r = jnp.where(r1, gz, jnp.where(r2, -gx,
+                                           jnp.where(r3, -gz, gx)))
+        gz_r = jnp.where(r1, -gx, jnp.where(r2, -gz,
+                                            jnp.where(r3, gx, gz)))
+        swap = r1 | r3
+        wx_r = jnp.where(swap, twz, twx)
+        wz_r = jnp.where(swap, twx, twz)
+        ix_r = jnp.where(swap, tiz, tix)
+        iz_r = jnp.where(swap, tix, tiz)
+        # advance one cell along the rotated ldir (default case is FXP)
+        step_dx = jnp.where(ldir_p == FZP, 0,
+                            jnp.where(ldir_p == FXN, -1,
+                                      jnp.where(ldir_p == FZN, 0, 1)))
+        step_dz = jnp.where(ldir_p == FZP, 1,
+                            jnp.where(ldir_p == FZN, -1, 0))
+        return (pkind, ldir_p,
+                px_r + step_dx.astype(F32), pz_r + step_dz.astype(F32),
+                cxp + step_dx, czp + step_dz,
+                vx_r, vz_r, wx_r, wz_r, ix_r, iz_r, gx_r, gz_r)
+
+    def portal_skip(_):
+        zi = jnp.zeros_like(s.cx)
+        zf = jnp.zeros_like(pos.x)
+        return (zi, zi, zf, zf, zi, zi, zf, zf, zf, zf, zf, zf, zi, zi)
+
+    (pkind, ldir_p, px_f, pz_f, cx_f, cz_f, vx_r, vz_r, wx_r, wz_r,
+     ix_r, iz_r, gx_r, gz_r) = jax.lax.cond(
+        any_portal, portal_calc, portal_skip, 0)
     pgo = act & is_portal & (pkind == 1)
-    cxp = s.cx + pdcx
-    czp = s.cz + pdcz
-    px_t = pos.x + pdcx.astype(F32)
-    pz_t = pos.z + pdcz.astype(F32)
-    rot = prot
-    ldir_p = (s.ldir - rot) & 3
-    cxh = cxp.astype(F32) + F32(0.5)
-    czh = czp.astype(F32) + F32(0.5)
-    trx, trz = px_t, pz_t
-    tvx, tvz = ray.x, ray.z
-    twx, twz = wdist.x, wdist.z
-    tix, tiz = iavel.x, iavel.z
-    r1, r2, r3 = rot == 1, rot == 2, rot == 3
-    px_r = jnp.where(r1, cxh + (trz - czh),
-                     jnp.where(r2, cxh * F32(2.0) - px_t,
-                               jnp.where(r3, cxh - (trz - czh), px_t)))
-    pz_r = jnp.where(r1, czh - (trx - cxh),
-                     jnp.where(r2, czh * F32(2.0) - pz_t,
-                               jnp.where(r3, czh + (trx - cxh), pz_t)))
-    vx_r = jnp.where(r1, tvz, jnp.where(r2, -tvx,
-                                        jnp.where(r3, -tvz, tvx)))
-    vz_r = jnp.where(r1, -tvx, jnp.where(r2, -tvz,
-                                         jnp.where(r3, tvx, tvz)))
-    gx_r = jnp.where(r1, gz, jnp.where(r2, -gx, jnp.where(r3, -gz, gx)))
-    gz_r = jnp.where(r1, -gx, jnp.where(r2, -gz, jnp.where(r3, gx, gz)))
-    swap = r1 | r3
-    wx_r = jnp.where(swap, twz, twx)
-    wz_r = jnp.where(swap, twx, twz)
-    ix_r = jnp.where(swap, tiz, tix)
-    iz_r = jnp.where(swap, tix, tiz)
-    # advance one cell along the rotated ldir (default case is FXP)
-    step_dx = jnp.where(ldir_p == FZP, 0,
-                        jnp.where(ldir_p == FXN, -1,
-                                  jnp.where(ldir_p == FZN, 0, 1)))
-    step_dz = jnp.where(ldir_p == FZP, 1,
-                        jnp.where(ldir_p == FZN, -1, 0))
-    px_f = px_r + step_dx.astype(F32)
-    pz_f = pz_r + step_dz.astype(F32)
-    cx_f = cxp + step_dx
-    cz_f = czp + step_dz
 
     # ---- the ONE per-step fetch: landing cell of steppers & portal rays --
     tgt_cx = jnp.where(pgo, cx_f, jnp.where(stepped, cx2, s.cx))
@@ -363,11 +388,11 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig) -> SegState:
 
     # '#/&': 2-high wall check with behind-cell substitution
     # (trace.h:404-440)
-    xc = f2.xcls
+    xc = f2.xcls2
     y_out = (pos3y < F32(0.0)) | (pos3y > F32(1.0))
     chk = stepped & is_tall & y_out
-    xc_tall = (xc == W.TALL) | (xc == W.TALLFOG)
-    xc_low = xc == W.LOWER
+    xc_tall = xc == 1
+    xc_low = xc == 2
     revert = chk & xc_low
     pos3y = jnp.where(revert, pos3y + F32(1.0), pos3y)
     wny = jnp.where(revert,

@@ -16,7 +16,8 @@ from ..core.approx import rcp_emu, rsqrt_emu
 from ..core.config import RenderConfig
 from . import worlddev as W
 from .tracer_core import (CellFields, Env, Math, SegState,  # noqa: F401
-                          col_ftoint, decode_word, trace_wave_env)
+                          col_ftoint, decode_portal_word, decode_word,
+                          trace_wave_env)
 from .vec import C4, V3, dot_sse, normalise_sse
 
 F32 = jnp.float32
@@ -90,9 +91,14 @@ def make_env(world: W.WorldDev, meta: W.WorldMeta,
         w = jnp.take(world.word, idx, mode="clip")
         return decode_word(w, idx)
 
+    def fetch_portal(cell_idx):
+        w = jnp.take(world.word, cell_idx, mode="clip")
+        return decode_portal_word(w)
+
     sphere_pass = (_sphere_pass(world, meta, math)
                    if meta.k_bucket > 0 else None)
-    return Env(math=math, fetch=fetch, sphere_pass=sphere_pass,
+    return Env(math=math, fetch=fetch, fetch_portal=fetch_portal,
+               sphere_pass=sphere_pass,
                randfs=lambda s: lcg.randfs(s, jnp))
 
 

@@ -33,27 +33,43 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core.config import RenderConfig
 from . import worlddev as W
-from .tracer_core import (CellFields, Env, Math, SegState, decode_word,
-                          trace_wave_env)
+from .tracer_core import (CellFields, Env, Math, SegState,
+                          decode_portal_word, trace_wave_env,
+                          xcls_compress)
 from .vec import C4, V3, dot_sse, normalise_sse
 
 F32 = jnp.float32
 I32 = jnp.int32
 
-TILE = 1024            # rays per grid program, as [8,128]
+import os as _os
+
+# rays per grid program; 8192 measured fastest at 1080p on v5e (bigger
+# tiles amortize per-program overhead; 32768 exceeds scoped VMEM)
+TILE = int(_os.environ.get("PWNFPS_PALLAS_TILE", "8192"))
+ROWS = TILE // 128     # sublane rows per tile
 NSPH_MAX = 15          # sphere-mask width (bucket capacity bound)
 
 
 class PallasTables(NamedTuple):
-    word: jnp.ndarray    # [256,128] i32: rows 8c..8c+7 = chunk c bcast
+    word: jnp.ndarray    # [256,128] i32: full channel word, chunk bcast
+    cword: jnp.ndarray   # [64,128] i32: compact byte/cell (4 cells/i32)
     mask: jnp.ndarray    # [256,128] i32: per-cell sphere membership bits
     sph: jnp.ndarray     # [16, 8] f32: x,y,z,r,refl,cb,cg,cr
 
 
 def build_tables(world: W.WorldDev, meta: W.WorldMeta) -> PallasTables:
     """Per-frame device tables for the kernel (cheap jnp ops)."""
-    def bcast_chunks(flat):   # [4096] -> [256,128]
-        return jnp.repeat(flat.reshape(32, 128), 8, axis=0)
+    def bcast_chunks(flat):   # [4096] -> [32*ROWS,128]
+        return jnp.repeat(flat.reshape(32, 128), ROWS, axis=0)
+
+    # compact common-path byte: cls(4) | xcls2(2) | has_sph(1)
+    w = world.word
+    cbyte = (W.w_cls(w) | (xcls_compress(W.w_xcls(w)) << 4)
+             | (jnp.where(W.w_nsph(w) > 0, 1, 0) << 6))
+    cb = cbyte.reshape(1024, 4)
+    cword = (cb[:, 0] | (cb[:, 1] << 8) | (cb[:, 2] << 16)
+             | (cb[:, 3] << 24))
+    cword_b = jnp.repeat(cword.reshape(8, 128), ROWS, axis=0)
 
     K = world.buckets.shape[0] // 4096
     b = world.buckets.reshape(4096, K)
@@ -69,19 +85,31 @@ def build_tables(world: W.WorldDev, meta: W.WorldMeta) -> PallasTables:
     sph = sph.at[:take, 3].set(world.sph_r[:take])
     sph = sph.at[:take, 4].set(world.sph_refl[:take])
     sph = sph.at[:take, 5:8].set(world.sph_col[:take])
-    return PallasTables(word=bcast_chunks(world.word),
+    return PallasTables(word=bcast_chunks(world.word), cword=cword_b,
                         mask=bcast_chunks(mask), sph=sph)
 
 
-def _chunked_gather(tab_ref, idx):
-    """tab_ref: [256,128] chunk-broadcast table; idx: [8,128] in [0,4096)."""
+def _chunked_gather(tab_ref, idx, chunks=32):
+    """tab_ref: chunk-broadcast table rows; idx in [0, 128*chunks)."""
     lo = idx & 127
     hi = idx >> 7
     out = jnp.zeros_like(idx)
-    for c in range(32):
-        g = jnp.take_along_axis(tab_ref[8 * c:8 * c + 8, :], lo, axis=1)
+    for c in range(chunks):
+        g = jnp.take_along_axis(tab_ref[ROWS * c:ROWS * (c + 1), :], lo,
+                                axis=1)
         out = jnp.where(hi == c, g, out)
     return out
+
+
+def _compact_fetch(cword_ref, cx, cz) -> CellFields:
+    """Common-path fields from the 4-cells-per-int32 table: one 8-chunk
+    gather + byte extract."""
+    inb = (cx >= 0) & (cx < 64) & (cz >= 0) & (cz < 64)
+    idx = jnp.where(inb, cz * 64 + cx, 0)
+    word = _chunked_gather(cword_ref, idx >> 2, chunks=8)
+    byte = (word >> ((idx & 3) * 8)) & 0x7F
+    return CellFields(cls=byte & 0xF, xcls2=(byte >> 4) & 3,
+                      nsph=(byte >> 6) & 1, cell_idx=idx)
 
 
 def _randfs_i32(s):
@@ -135,19 +163,21 @@ def _sphere_pass_pallas(mask_ref, sph_ref, n_spheres: int):
 
 
 def _kernel(cfg: RenderConfig, n_spheres: int,
-            word_ref, mask_ref, sph_ref, sec_ref,
+            word_ref, cword_ref, mask_ref, sph_ref, sec_ref,
             fx, fy, fz, rx, ry, rz, seed_ref,
             ob, og, orr, oa, od):
     def fetch(cx, cz) -> CellFields:
-        inb = (cx >= 0) & (cx < 64) & (cz >= 0) & (cz < 64)
-        idx = jnp.where(inb, cz * 64 + cx, 0)
-        w = _chunked_gather(word_ref, idx)
-        return decode_word(w, idx)
+        return _compact_fetch(cword_ref, cx, cz)
+
+    def fetch_portal(cell_idx):
+        w = _chunked_gather(word_ref, cell_idx)
+        return decode_portal_word(w)
 
     sphere_pass = (_sphere_pass_pallas(mask_ref, sph_ref, n_spheres)
                    if n_spheres > 0 else None)
     env = Env(math=Math(rsq=jax.lax.rsqrt, rcp=lambda x: 1.0 / x),
-              fetch=fetch, sphere_pass=sphere_pass, randfs=_randfs_i32)
+              fetch=fetch, fetch_portal=fetch_portal,
+              sphere_pass=sphere_pass, randfs=_randfs_i32)
 
     ifrom = V3(fx[:], fy[:], fz[:])
     iray = V3(rx[:], ry[:], rz[:])
@@ -170,7 +200,7 @@ def _trace_pallas(tables: PallasTables, cfg: RenderConfig,
 
     def pad(a, fill):
         return jnp.pad(a, (0, n_pad - n_rays),
-                       constant_values=fill).reshape(tiles * 8, 128)
+                       constant_values=fill).reshape(tiles * ROWS, 128)
 
     fx, fy, fz = pad(fx, 1.0), pad(fy, 0.5), pad(fz, 1.0)
     rx, ry, rz = pad(rx, 0.5), pad(ry, -0.5), pad(rz, 0.5)
@@ -179,25 +209,26 @@ def _trace_pallas(tables: PallasTables, cfg: RenderConfig,
     seeds = pad(seeds, 1)
     sec2 = jnp.asarray(sec, jnp.float32).reshape(1, 1)
 
-    tile_spec = pl.BlockSpec((8, 128), lambda i: (i, 0),
+    tile_spec = pl.BlockSpec((ROWS, 128), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
     full = lambda shape: pl.BlockSpec(
         shape, lambda i: tuple(0 for _ in shape),
         memory_space=pltpu.VMEM)
     grid_spec = pl.GridSpec(
         grid=(tiles,),
-        in_specs=[full((256, 128)), full((256, 128)), full((16, 8)),
+        in_specs=[full((32 * ROWS, 128)), full((8 * ROWS, 128)),
+                  full((32 * ROWS, 128)), full((16, 8)),
                   pl.BlockSpec((1, 1), lambda i: (0, 0),
                                memory_space=pltpu.SMEM),
                   tile_spec, tile_spec, tile_spec,
                   tile_spec, tile_spec, tile_spec, tile_spec],
         out_specs=[tile_spec] * 5,
     )
-    outs = [jax.ShapeDtypeStruct((tiles * 8, 128), jnp.float32)] * 5
+    outs = [jax.ShapeDtypeStruct((tiles * ROWS, 128), jnp.float32)] * 5
     kern = functools.partial(_kernel, cfg, n_spheres)
     ob, og, orr, oa, od = pl.pallas_call(
         kern, out_shape=outs, grid_spec=grid_spec,
-    )(tables.word, tables.mask, tables.sph, sec2,
+    )(tables.word, tables.cword, tables.mask, tables.sph, sec2,
       fx, fy, fz, rx, ry, rz, seeds)
 
     def unpad(a):

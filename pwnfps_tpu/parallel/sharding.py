@@ -38,16 +38,42 @@ def make_mesh(n_cam: int, n_px: int, devices=None) -> Mesh:
 
 
 @partial(jax.jit, static_argnames=("meta", "cfg"))
-def _render_batch(world, meta: W.WorldMeta, cfg: RenderConfig,
-                  origins, rays, seeds, sec):
-    """origins/rays: V3 of [C, N]; seeds: [C, N] -> fb/z [C, N]."""
-    c, n = seeds.shape
-    flat = lambda v: V3(v.x.reshape(c * n), v.y.reshape(c * n),
-                        v.z.reshape(c * n))
-    col4, dist = trace_wave(world, meta, cfg, flat(origins), flat(rays),
-                            seeds.reshape(c * n), sec)
-    fb = col_ftoint(col4).reshape(c, n)
-    return fb, dist.reshape(c, n)
+def _render_cams_jit(world, meta: W.WorldMeta, cfg: RenderConfig,
+                     cams, seeds, sec):
+    """cams: [C,4,4] f32 on device; ray gen + trace fully in-jit."""
+    h, w = cfg.height, cfg.width
+    n = h * w
+    c = cams.shape[0]
+    # camera_vectors, vectorized over the camera batch (screen.h:42-57)
+    xrat = jnp.float32(-1.0)
+    yrat = -(jnp.float32(h) / jnp.float32(w))
+    xsrat = jnp.float32(2.0) * xrat / jnp.float32(w)
+    ysrat = jnp.float32(2.0) * yrat / jnp.float32(h)
+    rayb = cams[:, 2, :3] + ((-xrat) * cams[:, 0, :3]
+                             + (-yrat) * cams[:, 1, :3])   # [C,3]
+    rdx = xsrat * cams[:, 0, :3]
+    rdy = ysrat * cams[:, 1, :3]
+    ys_ = jnp.arange(h, dtype=jnp.int32).astype(jnp.float32)
+    xs_ = jnp.arange(1, w + 1, dtype=jnp.int32).astype(jnp.float32)
+
+    def comp(i):
+        v = (rayb[:, i, None, None] + ys_[None, :, None] * rdy[:, i, None, None]
+             + xs_[None, None, :] * rdx[:, i, None, None])
+        return v.reshape(c * n)
+
+    rays = V3(comp(0), comp(1), comp(2))
+    origins = V3(
+        jnp.repeat(cams[:, 3, 0], n), jnp.repeat(cams[:, 3, 1], n),
+        jnp.repeat(cams[:, 3, 2], n))
+    seeds_flat = jnp.broadcast_to(seeds[None], (c, n)).reshape(c * n)
+    if cfg.backend == "pallas":
+        from ..ops.tracer_pallas import trace_wave_pallas
+        col4, dist = trace_wave_pallas(world, meta, cfg, origins, rays,
+                                       seeds_flat, sec)
+    else:
+        col4, dist = trace_wave(world, meta, cfg, origins, rays,
+                                seeds_flat, sec)
+    return col_ftoint(col4).reshape(c, h, w)
 
 
 def render_cameras(world, meta: W.WorldMeta, cfg: RenderConfig,
@@ -55,37 +81,18 @@ def render_cameras(world, meta: W.WorldMeta, cfg: RenderConfig,
     """Batched multi-camera render, sharded (cam, px) over the mesh.
 
     cams: [C, 4, 4] float32 camera matrices.  Returns [C, h, w] uint32.
+    NB: ray generation runs in-jit (fast mode); the parity-exact serial
+    ray accumulation lives in the single-camera path.
     """
     h, w = cfg.height, cfg.width
-    n = h * w
-    origins, rays, seeds = [], [], []
     xs = np.arange(w, dtype=np.uint32)
     ys = np.arange(h, dtype=np.uint32)
-    seed_img = lcg.pixel_seed(xs[None, :], ys[:, None], w).reshape(-1)
-    for cam in cams:
-        origin, rayb, rdx, rdy = camera_vectors(cam, w, h)
-        r = gen_rays(jnp.asarray(rayb), jnp.asarray(rdx), jnp.asarray(rdy),
-                     w, h, cfg.parity)
-        rays.append(r)
-        origins.append(V3(*(jnp.broadcast_to(jnp.asarray(origin[i]), (n,))
-                            for i in range(3))))
-        seeds.append(jnp.asarray(seed_img))
-    stack = lambda vs: V3(jnp.stack([v.x for v in vs]),
-                          jnp.stack([v.y for v in vs]),
-                          jnp.stack([v.z for v in vs]))
-    origins = stack(origins)
-    rays = stack(rays)
-    seeds = jnp.stack(seeds)
-
-    sh_batch = NamedSharding(mesh, P("cam", "px"))
+    seed_img = jnp.asarray(
+        lcg.pixel_seed(xs[None, :], ys[:, None], w).reshape(-1))
     sh_rep = NamedSharding(mesh, P())
-    put = lambda v: V3(jax.device_put(v.x, sh_batch),
-                       jax.device_put(v.y, sh_batch),
-                       jax.device_put(v.z, sh_batch))
-    origins = put(origins)
-    rays = put(rays)
-    seeds = jax.device_put(seeds, sh_batch)
+    cams_d = jax.device_put(jnp.asarray(cams, jnp.float32),
+                            NamedSharding(mesh, P("cam", None, None)))
     world = jax.device_put(world, sh_rep)
-    fb, dist = _render_batch(world, meta, cfg, origins, rays, seeds,
-                             np.float32(sec))
-    return np.asarray(fb).reshape(len(cams), h, w)
+    fb = _render_cams_jit(world, meta, cfg, cams_d, seed_img,
+                          np.float32(sec))
+    return np.asarray(fb)
