@@ -39,7 +39,6 @@ DEFAULT_SCRIPT = os.path.join(_ASSETS, "scripts", "game.py")
 
 def make_script(api: EngineAPI, path: str):
     if path.endswith(".lua"):
-        from .. import script as _s
         from ..script.luamini import LuaScript
         return LuaScript(api, path)
     return PythonScript(api, path)

@@ -27,7 +27,7 @@ from ..core.config import (COL_CEIL, COL_FLOOR, COL_MAGENTA, COL_WALL,
                            EPSILON, FXP, FZP, FXN, FZN, FYP, FYN,
                            RenderConfig)
 from . import worlddev as W
-from .vec import C4, V3, dot_sse, normalise_sse
+from .vec import C4, V3, normalise_sse
 
 F32 = jnp.float32
 I32 = jnp.int32
@@ -41,8 +41,17 @@ PAL = np.array([COL_CEIL, COL_FLOOR, COL_WALL, COL_MAGENTA], np.float32)
 
 
 class Math(NamedTuple):
+    """Float-semantics bundle: parity mode plugs bit-exact emulations
+    (core.approx tables, core.ieee division/sqrt, core.detmath pinned
+    libm); fast mode plugs the hardware ops."""
+
     rsq: Any
     rcp: Any
+    div: Any
+    sqrt: Any
+    sin: Any
+    cos: Any
+    exp: Any
 
 
 class CellFields(NamedTuple):
@@ -226,7 +235,7 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig) -> SegState:
     wy_tall = jnp.where(gy > 0, wy0 + iavel.y, wy0)
     ay2 = jnp.where(ray_y2 < 0.0, -ray_y2, ray_y2)
     wy_ramp = jnp.where(ray_y2 >= 0.0, F32(1.0) - pos.y, pos.y) \
-        * (F32(1.0) / ay2)
+        * env.math.div(jnp.ones_like(ay2), ay2)
     wy = jnp.where(is_tall, wy_tall, jnp.where(is_ramp, wy_ramp, wy0))
 
     # ---- ramps: sphere exit BEFORE stepping (trace.h:463-468) -------------
@@ -545,11 +554,12 @@ def shade_and_bounce(out: SegOut, icol: C4, seed, sec, depth_ok: bool,
     # water floor (FYN): normal from the *nudged* position (trace.h:39-56)
     water = is_wall & (out.tldir == FYN)
     pi = F32(np.pi)
-    ang = (pi * F32(2.0)) * ((jnp.sin(pi * F32(0.5) * mpos.x)
-                              + jnp.cos(pi * F32(0.5) * mpos.z))
+    ang = (pi * F32(2.0)) * ((math.sin(pi * F32(0.5) * mpos.x)
+                              + math.cos(pi * F32(0.5) * mpos.z))
                              + sec * F32(1.0))
     wnorm = normalise_sse(
-        V3(jnp.sin(ang), jnp.full_like(ang, 38.0), jnp.cos(ang)), math.rsq)
+        V3(math.sin(ang), jnp.full_like(ang, 38.0), math.cos(ang)),
+        math.rsq)
     norm = wnorm.where(water, out.aux_norm)
 
     # sphere: back off along the ray from aux_pos (trace.h:58-60)
@@ -606,7 +616,7 @@ def trace_wave_env(env: Env, cfg: RenderConfig, ifrom: V3, iray: V3,
     col = bases[-1]
     for k in range(cfg.n_waves - 2, -1, -1):
         blended = refls[k] * col + (F32(1.0) - refls[k]) * bases[k]
-        fogf = jnp.exp(F32(-0.6) * fogs[k])
+        fogf = env.math.exp(F32(-0.6) * fogs[k])
         fogged = fogf * blended + (F32(1.0) - fogf)
         res = fogged.where(fogs[k] != F32(0.0), blended)
         col = res.where(bounces[k], bases[k])

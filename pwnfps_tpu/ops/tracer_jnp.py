@@ -11,9 +11,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core import lcg
+from ..core import detmath, lcg
 from ..core.approx import rcp_emu, rsqrt_emu
 from ..core.config import RenderConfig
+from ..core.ieee import div_rn, sqrt_rn
 from . import worlddev as W
 from .tracer_core import (CellFields, Env, Math, SegState,  # noqa: F401
                           col_ftoint, decode_portal_word, decode_word,
@@ -29,8 +30,15 @@ def make_math(world: W.WorldDev, parity: bool) -> Math:
         return Math(
             rsq=lambda x: rsqrt_emu(x, world.rsqrt_tab, jnp),
             rcp=lambda x: rcp_emu(x, world.rcp_tab, jnp),
+            div=lambda a, b: div_rn(a, b, jnp),
+            sqrt=lambda x: sqrt_rn(x, jnp),
+            sin=lambda x: detmath.sin_det(x, jnp),
+            cos=lambda x: detmath.cos_det(x, jnp),
+            exp=lambda x: detmath.exp_det(x, jnp),
         )
-    return Math(rsq=jax.lax.rsqrt, rcp=lambda x: 1.0 / x)
+    return Math(rsq=jax.lax.rsqrt, rcp=lambda x: 1.0 / x,
+                div=lambda a, b: a / b, sqrt=jnp.sqrt,
+                sin=jnp.sin, cos=jnp.cos, exp=jnp.exp)
 
 
 def _sphere_pass(world: W.WorldDev, meta: W.WorldMeta, math: Math):
@@ -57,8 +65,10 @@ def _sphere_pass(world: W.WorldDev, meta: W.WorldMeta, math: Math):
             dist2 = dot_sse(rel, rel)
             dot = dot_sse(rel, s.ray)
             calcrad2 = dist2 - dot * dot
-            sph_dist = jnp.sqrt(dist2) - jnp.sqrt(
-                F32(1.0) - calcrad2 / jnp.where(rad2 > 0, rad2, F32(1.0)))
+            sph_dist = math.sqrt(dist2) - math.sqrt(jnp.maximum(
+                F32(1.0) - math.div(
+                    calcrad2, jnp.where(rad2 > 0, rad2, F32(1.0))),
+                F32(0.0)))
             upd = (valid & (dot > 0.0) & (calcrad2 < rad2)
                    & ((aux_dist == F32(-1.0))
                       | (sph_dist + s.cdist < aux_dist)))

@@ -175,7 +175,9 @@ def _kernel(cfg: RenderConfig, n_spheres: int,
 
     sphere_pass = (_sphere_pass_pallas(mask_ref, sph_ref, n_spheres)
                    if n_spheres > 0 else None)
-    env = Env(math=Math(rsq=jax.lax.rsqrt, rcp=lambda x: 1.0 / x),
+    env = Env(math=Math(rsq=jax.lax.rsqrt, rcp=lambda x: 1.0 / x,
+                        div=lambda a, b: a / b, sqrt=jnp.sqrt,
+                        sin=jnp.sin, cos=jnp.cos, exp=jnp.exp),
               fetch=fetch, fetch_portal=fetch_portal,
               sphere_pass=sphere_pass, randfs=_randfs_i32)
 

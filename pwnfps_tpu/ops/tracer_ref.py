@@ -124,11 +124,21 @@ class _Hit(Exception):
 
 
 class ScalarTracer:
-    def __init__(self, world: ScalarWorld, sec_current: float = 0.0):
+    def __init__(self, world: ScalarWorld, sec_current: float = 0.0,
+                 pinned: bool = False):
+        """pinned=True swaps glibc sinf/cosf/expf for the deterministic
+        libm (core.detmath) used by the oracle_pinned build."""
         self.w = world
         self.sec = F(sec_current)
         self.seed = np.uint32(0)
         self.dist = F(0.0)
+        if pinned:
+            from ..core import detmath as _dm
+            self._sin = lambda x: F(_dm.sin_det(F(x)))
+            self._cos = lambda x: F(_dm.cos_det(F(x)))
+            self._exp = lambda x: F(_dm.exp_det(F(x)))
+        else:
+            self._sin, self._cos, self._exp = sinf, cosf, expf
 
     # -- public entry --------------------------------------------------------
     def trace(self, ifrom: np.ndarray, iray: np.ndarray, seed,
@@ -174,9 +184,11 @@ class ScalarTracer:
             pos[1] = pos[1] - F(0.001)
             pi = F(np.float32(np.pi))
             ang = (pi * F(2.0)) * (
-                (sinf(pi * F(0.5) * pos[0]) + cosf(pi * F(0.5) * pos[2]))
+                (self._sin(pi * F(0.5) * pos[0])
+                 + self._cos(pi * F(0.5) * pos[2]))
                 + self.sec * F(1.0))
-            norm = w.v_normalise(vec4(sinf(ang), 38.0, cosf(ang), 0.0))
+            norm = w.v_normalise(vec4(self._sin(ang), 38.0,
+                                      self._cos(ang), 0.0))
             rmul = F(-2.0) * (((F(0.0) + ray[0] * norm[0])
                                + ray[1] * norm[1]) + ray[2] * norm[2])
             ray = w.v_normalise(F(rmul) * norm + ray)
@@ -202,7 +214,7 @@ class ScalarTracer:
         col = self._trace_ray(hitctr + 1, pos, ray, col)
         col = F(refl) * col + (F(1.0) - F(refl)) * bcol
         if fog != F(0.0):
-            fogf = expf(F(-0.6) * fog)
+            fogf = self._exp(F(-0.6) * fog)
             col = fogf * col + (F(1.0) - fogf) * np.full(4, 1.0, np.float32)
         self.dist = odist
         return col

@@ -27,7 +27,6 @@ from typing import NamedTuple
 import numpy as np
 
 from ..core.approx import SseTables
-from ..world import cells as C
 from ..world.levelc import LevelData
 from ..world.objects import SphereSet
 

@@ -26,8 +26,6 @@ from ..core import lcg
 from ..ops import worlddev as W
 from ..ops.tracer_jnp import col_ftoint, trace_wave
 from ..ops.vec import V3
-from ..render.camera import camera_vectors
-from ..render.frame import gen_rays
 
 
 def make_mesh(n_cam: int, n_px: int, devices=None) -> Mesh:

@@ -69,7 +69,8 @@ def _pack_spheres(f, spheres: np.ndarray) -> None:
 
 
 def render_frames(level_path: str, frames: list[dict], w: int, h: int,
-                  blur: bool = True, workdir: str | None = None):
+                  blur: bool = True, workdir: str | None = None,
+                  pinned: bool = False):
     """Render golden frames.
 
     Each frame dict: {"sec": float, "cam": [4,4] f32 (rows x,y,z,pos),
@@ -86,7 +87,8 @@ def render_frames(level_path: str, frames: list[dict], w: int, h: int,
             cam = np.asarray(fr["cam"], np.float32).reshape(4, 4)
             f.write(cam.tobytes())
             _pack_spheres(f, fr.get("spheres", np.zeros((0, 8), np.float32)))
-    exe = _bin("oracle" if blur else "oracle_noblur")
+    base = "oracle_pinned" if pinned else "oracle"
+    exe = _bin(base if blur else base + "_noblur")
     subprocess.run([exe, "render", level_path, state, out], check=True)
     raw = np.fromfile(out, np.uint32)
     n = len(frames)
@@ -98,7 +100,7 @@ def render_frames(level_path: str, frames: list[dict], w: int, h: int,
 
 
 def trace_rays(level_path: str, rays: list[dict],
-               workdir: str | None = None):
+               workdir: str | None = None, pinned: bool = False):
     """Golden single-ray traces.
 
     Each ray dict: {"from": [4] f32, "dir": [4] f32, "seed": uint32,
@@ -116,6 +118,7 @@ def trace_rays(level_path: str, rays: list[dict],
             f.write(struct.pack("<If", int(r["seed"]) & 0xFFFFFFFF,
                                 r["sec"]))
             _pack_spheres(f, r.get("spheres", np.zeros((0, 8), np.float32)))
-    subprocess.run([_bin("oracle"), "ray", level_path, inp, out], check=True)
+    subprocess.run([_bin("oracle_pinned" if pinned else "oracle"),
+                    "ray", level_path, inp, out], check=True)
     raw = np.fromfile(out, np.float32).reshape(len(rays), 5)
     return raw[:, :4], raw[:, 4]

@@ -9,9 +9,12 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_enable_fast_math" not in flags:
+    # without this, XLA:CPU contracts f32 mul+add chains into FMAs,
+    # breaking bit-parity of the deterministic libm (TPU never does)
+    flags = (flags + " --xla_cpu_enable_fast_math=false").strip()
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 

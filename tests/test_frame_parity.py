@@ -68,6 +68,29 @@ def test_frame_spawn_with_blur(setup):
     _check(fb, gold)
 
 
+def test_frame_pinned_100_percent(setup):
+    """Against the pinned-libm oracle the renderer is fully bit-exact:
+    every pixel and every depth bit (BASELINE config #1, achieved)."""
+    lv, world, meta, sph8 = setup
+    cam = mat4_identity()
+    sx, sz = lv.spawn
+    cam[3, :3] = (sx + 0.5, 0.5, sz + 0.5)
+    cfg = RenderConfig(width=W_, height=H_, parity=True, postproc_blur=1)
+    origin, rayb, rdx, rdy = camera_vectors(cam, W_, H_)
+    fb, zb = render_frame(world, meta, cfg, jnp.asarray(origin),
+                          jnp.asarray(rayb), jnp.asarray(rdx),
+                          jnp.asarray(rdy), np.float32(1.25))
+    fb = np.ascontiguousarray(np.asarray(fb))
+    zb = np.asarray(zb)
+    gold, goldz = oracle.render_frames(
+        REF_LEVEL, [dict(sec=1.25, cam=cam, spheres=sph8)], W_, H_,
+        blur=True, pinned=True)
+    np.testing.assert_array_equal(fb, gold[0])
+    np.testing.assert_array_equal(zb.view(np.uint32),
+                                  np.ascontiguousarray(
+                                      goldz[0]).view(np.uint32))
+
+
 def test_frame_rotated_no_blur(setup):
     lv, world, meta, sph8 = setup
     cam = mat4_identity()
