@@ -58,12 +58,20 @@ def div_rn(a, b, xp=np):
     ge0 = ma >= mb
     q = ge0.astype(ma.dtype)
     r = xp.where(ge0, ma - mb, ma)
-    for _ in range(27):
+
+    def _step(rq):
+        r, q = rq
         r = r << 1
         q = q << 1
         ge = r >= mb
-        r = xp.where(ge, r - mb, r)
-        q = xp.where(ge, q + 1, q)
+        return (xp.where(ge, r - mb, r), xp.where(ge, q + 1, q))
+
+    if xp is np:
+        for _ in range(27):
+            r, q = _step((r, q))
+    else:
+        import jax
+        r, q = jax.lax.fori_loop(0, 27, lambda i, rq: _step(rq), (r, q))
 
     big = q >= (1 << 27)                    # quotient in [1, 2) vs [0.5, 1)
     e = ea - eb + xp.where(big, 127, 126)
@@ -102,21 +110,33 @@ def sqrt_rn(x, xp=np):
 
     root = xp.zeros_like(M)
     rem = xp.zeros_like(M)
+
     # N = M << 25 has <= 50 bits; feed bit-pairs MSB-first (p = 0..24);
     # pair p covers N bits (48-2p, 49-2p) <=> M bits (23-2p, 24-2p)
-    for p in range(25):
-        sft = 23 - 2 * p
-        if sft >= 0:
-            pair = (M >> sft) & 3
-        elif sft == -1:
-            pair = (M & 1) << 1
-        else:
-            pair = xp.zeros_like(M)
-        rem = (rem << 2) | pair
+    def _pair(p_dyn):
+        # branchless pair extraction for traced p: shift = 23-2p may be
+        # negative; sft==-1 contributes M bit 0 as the high pair bit
+        sft = 23 - 2 * p_dyn
+        pos_part = (M >> xp.maximum(sft, 0)) & 3
+        neg1 = (M & 1) << 1
+        return xp.where(sft >= 0, pos_part,
+                        xp.where(sft == -1, neg1, xp.zeros_like(M)))
+
+    def _step(p_dyn, state):
+        root, rem = state
+        rem = (rem << 2) | _pair(p_dyn)
         trial = (root << 2) | 1
         ge = rem >= trial
         rem = xp.where(ge, rem - trial, rem)
         root = xp.where(ge, (root << 1) | 1, root << 1)
+        return (root, rem)
+
+    if xp is np:
+        for p in range(25):
+            root, rem = _step(p, (root, rem))
+    else:
+        import jax
+        root, rem = jax.lax.fori_loop(0, 25, _step, (root, rem))
 
     m24 = root >> 1
     g = root & 1

@@ -1,0 +1,59 @@
+"""BASELINE config #1, end to end: a scripted camera path through the
+default level - player physics, key timeline, the UNMODIFIED reference
+game.lua driving the creature - with every frame compared bit-for-bit
+against the pinned compiled reference.
+
+The oracle consumes the per-frame state (camera matrix, clock, sphere
+SoA) that our host runtime produced, exactly like the reference's
+render stage consumes its own host state."""
+
+import numpy as np
+import pytest
+
+from pwnfps_tpu.core.config import RenderConfig
+from pwnfps_tpu.host.loop import GameSession
+from pwnfps_tpu.host.physics import Keys
+from pwnfps_tpu.utils import oracle
+
+pytestmark = pytest.mark.skipif(not oracle.available(),
+                                reason="reference checkout unavailable")
+
+W_, H_ = 96, 64   # CI size; benchmarks/configs.py runs 320x240 on TPU
+
+
+def test_scripted_path_bit_exact():
+    cfg = RenderConfig(width=W_, height=H_, parity=True, postproc_blur=1)
+    sess = GameSession("/root/reference/level.txt",
+                       "/root/reference/game.lua", cfg)
+    keys = Keys()
+    timeline = {0: ("forward",), 4: ("turnleft",), 8: ("turnleft",),
+                10: ("left",)}
+    frames = []
+    states = []
+    for f in range(12):
+        for name in timeline.get(f, ()):
+            setattr(keys, name, not getattr(keys, name))
+        n = sess.pool.objs_num
+        sph8 = np.stack([
+            sess.pool.r[:n], sess.pool.refl[:n],
+            sess.pool.pos[:n, 0], sess.pool.pos[:n, 1],
+            sess.pool.pos[:n, 2], sess.pool.col[:n, 0],
+            sess.pool.col[:n, 1], sess.pool.col[:n, 2]], axis=1)
+        states.append(dict(sec=float(sess.sec), cam=sess.player.cam.copy(),
+                           spheres=sph8.astype(np.float32)))
+        fb, zb = sess.render()
+        frames.append((fb, zb))
+        sess.tick(1 / 60, keys)
+
+    gold, goldz = oracle.render_frames(
+        "/root/reference/level.txt", states, W_, H_, blur=True,
+        pinned=True)
+    for f, (fb, zb) in enumerate(frames):
+        assert np.array_equal(fb, gold[f]), f"frame {f} pixels differ"
+        assert np.array_equal(zb.view(np.uint32),
+                              np.ascontiguousarray(
+                                  goldz[f]).view(np.uint32)), \
+            f"frame {f} zbuf differs"
+    # the path actually moved and the creature animated
+    assert not np.array_equal(gold[0], gold[-1])
+    assert states[0]["cam"][3, 2] != states[-1]["cam"][3, 2]
