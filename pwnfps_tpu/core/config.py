@@ -69,6 +69,13 @@ class RenderConfig:
     # DDA steps executed per while-loop iteration (amortizes the Mosaic
     # loop-carry cost; the early-exit check runs once per chunk).
     step_chunk: int = 1
+    # two-tier stepping: when every active ray in a tile is in a plain
+    # floor/tall/wall cell with no pending sphere hit, run the lean
+    # common-case body (~1/3 the ops) instead of the full one.  Within
+    # measurement noise on the sphere-heavy default scene (the tile-
+    # uniform predicate rarely holds at 8k-ray tiles); wins on sparse
+    # scenes. Off by default to keep compiles fast.
+    lean_step: bool = False
 
     @property
     def n_waves(self) -> int:

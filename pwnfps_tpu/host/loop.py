@@ -113,11 +113,25 @@ def main(argv=None) -> int:
                    help="timeline like '0:forward,30:turnleft' "
                         "(frame:key toggles)")
     p.add_argument("--parity", action="store_true")
+    p.add_argument("--backend", default="jnp", choices=["jnp", "pallas"])
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax profiler trace into DIR")
     args = p.parse_args(argv)
 
     cfg = RenderConfig(width=args.width, height=args.height,
-                       scale=args.scale, parity=args.parity)
+                       scale=args.scale, parity=args.parity,
+                       backend=args.backend)
     sess = GameSession(args.level, args.script, cfg)
+
+    profiler_ctx = None
+    if args.profile:
+        import jax
+        try:
+            profiler_ctx = jax.profiler.trace(args.profile)
+            profiler_ctx.__enter__()
+        except Exception as e:  # profiling unsupported on some backends
+            print(f"profiler unavailable: {e}")
+            profiler_ctx = None
 
     toggles: dict[int, list[str]] = {}
     if args.keys:
@@ -140,6 +154,9 @@ def main(argv=None) -> int:
                 os.path.join(args.out, f"frame_{f:04d}.png"))
         sess.tick(args.dt, keys)
     dt = time.perf_counter() - t0
+    if profiler_ctx is not None:
+        profiler_ctx.__exit__(None, None, None)
+        print(f"profiler trace written to {args.profile}")
     print(f"{args.frames} frames in {dt:.2f}s "
           f"({args.frames / dt:.2f} fps) at {args.width}x{args.height}, "
           f"player at {sess.player.cam[3, :3]}")

@@ -66,8 +66,8 @@ def dof_blur(fb, zbuf, passes: int = 1):
     for _ in range(passes):
         tsbuf = fb.reshape(-1)
         z = zbuf - F32(1.0)                           # [h,w]
-        taps = []
-        for i in range(4):  # one [h,w] gather per tap: no lane padding
+        idxs = []
+        for i in range(4):
             stx = lcg.jump(s1[:, None], akx[None, :, i], ckx[None, :, i])
             sty = lcg.jump(s1[:, None], aky[None, :, i], cky[None, :, i])
             rx = randfs_from_state(stx)
@@ -76,7 +76,10 @@ def dof_blur(fb, zbuf, passes: int = 1):
             ty = yf[:, None] + (ry * fstr) * z
             txi = jnp.clip(tx.astype(jnp.int32), 0, w - 1)
             tyi = jnp.clip(ty.astype(jnp.int32), 0, h - 1)
-            taps.append(jnp.take(tsbuf, tyi * w + txi, mode="clip"))
+            idxs.append(tyi * w + txi)
+        # one batched gather: XLA's per-gather overhead dominates, four
+        # separate [h,w] gathers cost ~3x one [4,h,w] gather (measured)
+        taps = jnp.take(tsbuf, jnp.stack(idxs), mode="clip")
         acc = _avg_epu8(_avg_epu8(taps[0], taps[1]),
                         _avg_epu8(taps[2], taps[3]))
         # last width%4 pixels are untouched (screen.h:88-91)

@@ -470,6 +470,118 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig) -> SegState:
     return s
 
 
+
+
+def segment_body_lean(s: SegState, env: Env, cfg: RenderConfig
+                      ) -> SegState:
+    """Fast-path step: valid only when every active ray stands in a
+    plain FLOOR/'"'/TALL/wall cell with no fog, no ramps, no portals, no
+    sphere buckets and no pending sphere hit (checked tile-uniformly in
+    run_segment).  Semantically identical to segment_body under that
+    precondition; roughly a third of the vector ops."""
+    f = s.fields
+    cls = f.cls
+    act = s.active != 0
+    is_floorish = (cls == W.FLOOR) | (cls == W.LOWER)
+    is_tall = cls == W.TALL
+
+    pos, ray, wdist, iavel = s.pos, s.ray, s.wdist, s.iavel
+    gx, gy, gz = s.gx, s.gy, s.gz
+
+    # plain wall terminate (trace.h:651-664; no pending aux by pre-cond)
+    wallm = act & ~(is_floorish | is_tall)
+    s = _terminate(s, wallm, T_WALL, ldir=s.ldir,
+                   colid=jnp.where(s.ldir == FYP, C_CEIL, C_WALL),
+                   fog=s.fog, dist=s.cdist, pos=pos, ray=ray)
+    act = s.active != 0
+
+    wx, wy0, wz = wdist.x, wdist.y, wdist.z
+    wy = jnp.where(is_tall & (gy > 0), wy0 + iavel.y, wy0)
+
+    ymin = (wy < wx) & (wy < wz)
+    xmin = ~ymin & (wx < wz)
+    zmin = ~ymin & ~xmin
+    t = jnp.where(ymin, wy, jnp.where(xmin, wx, wz))
+    ldir2 = jnp.where(
+        ymin, jnp.where(gy < 0, FYN, FYP),
+        jnp.where(xmin, jnp.where(gx < 0, FXN, FXP),
+                  jnp.where(gz < 0, FZN, FZP)))
+    cdist2 = jnp.where(act, s.cdist + t, s.cdist)
+    pos2 = (pos + t * ray).where(act, pos)
+
+    y_hit = act & ((ldir2 == FYN) | (ldir2 == FYP))
+    s = _terminate(s, y_hit, T_WALL, ldir=ldir2,
+                   colid=jnp.where(gy > 0, C_CEIL, C_FLOOR),
+                   fog=s.fog, dist=cdist2, pos=pos2, ray=ray)
+    act = s.active != 0
+
+    xstep = act & xmin
+    zstep = act & zmin
+    stepped = xstep | zstep
+    sub = jnp.where(xstep, wx, jnp.where(zstep, wz, F32(0.0)))
+    wnx = jnp.where(xstep, iavel.x, wx - sub)
+    wny = wy - sub
+    wnz = jnp.where(zstep, iavel.z, wz - sub)
+    wny = jnp.where(stepped & is_tall & (gy > 0), wny - iavel.y, wny)
+    cx2 = s.cx + jnp.where(xstep, gx, 0)
+    cz2 = s.cz + jnp.where(zstep, gz, 0)
+
+    tgt_cx = jnp.where(stepped, cx2, s.cx)
+    tgt_cz = jnp.where(stepped, cz2, s.cz)
+    f_next = env.fetch(tgt_cx, tgt_cz)
+    ncls = f_next.cls
+    n_tall = (ncls == W.TALL) | (ncls == W.TALLFOG)
+    n_lower = ncls == W.LOWER
+
+    pos3y = pos2.y
+    tr1 = stepped & (cls == W.LOWER) & n_tall
+    pos3y = jnp.where(tr1, pos3y + F32(1.0), pos3y)
+    wny = jnp.where(tr1, jnp.where(gy < 0, wny + iavel.y,
+                                   wny - iavel.y), wny)
+    tr2 = stepped & is_tall & n_lower
+    pos3y = jnp.where(tr2, pos3y - F32(1.0), pos3y)
+    wny = jnp.where(tr2, jnp.where(gy > 0, wny + iavel.y,
+                                   wny - iavel.y), wny)
+
+    xc = f_next.xcls2
+    y_out = (pos3y < F32(0.0)) | (pos3y > F32(1.0))
+    chk = stepped & is_tall & y_out
+    xc_tall = xc == 1
+    xc_low = xc == 2
+    revert = chk & xc_low
+    pos3y = jnp.where(revert, pos3y + F32(1.0), pos3y)
+    wny = jnp.where(revert, jnp.where(gy > 0, wny - iavel.y,
+                                      wny + iavel.y), wny)
+    pos3 = V3(pos2.x, pos3y, pos2.z)
+    wall2 = chk & ~xc_tall
+    s = _terminate(s, wall2, T_WALL, ldir=ldir2, colid=C_WALL,
+                   fog=s.fog, dist=cdist2, pos=pos3, ray=ray)
+    act = s.active != 0
+
+    cont2 = act & stepped
+    s = s._replace(
+        pos=pos3.where(cont2, pos),
+        wdist=V3(wnx, wny, wnz).where(cont2, wdist),
+        fields=_sel_fields(cont2, f_next, f),
+        cx=jnp.where(cont2, cx2, s.cx),
+        cz=jnp.where(cont2, cz2, s.cz),
+        cdist=jnp.where(cont2, cdist2, s.cdist),
+        ldir=jnp.where(cont2, ldir2, s.ldir))
+    return s
+
+
+def _lean_ok(s: SegState) -> jnp.ndarray:
+    """Tile-uniform predicate: may this step use segment_body_lean?"""
+    f = s.fields
+    cls = f.cls
+    special = ((cls == W.FOG) | (cls == W.TALLFOG)
+               | ((cls >= W.RAMP_GT) & (cls <= W.RAMP_CR))
+               | (cls == W.PORTAL) | (f.nsph > 0)
+               | (s.aux_dist != F32(-1.0)))
+    blocked = jnp.where((s.active != 0) & special, 1, 0)
+    return jnp.max(blocked) == 0
+
+
 def run_segment(env: Env, cfg: RenderConfig, ifrom: V3, iray: V3,
                 active) -> SegOut:
     s0 = init_segment(ifrom, iray, active, env)
@@ -483,7 +595,13 @@ def run_segment(env: Env, cfg: RenderConfig, ifrom: V3, iray: V3,
         step, n_act, s = carry
         for k in range(max(1, cfg.step_chunk)):
             prev = s.active
-            s = segment_body(s, env, cfg)
+            if cfg.lean_step:
+                s = jax.lax.cond(
+                    _lean_ok(s),
+                    lambda t: segment_body_lean(t, env, cfg),
+                    lambda t: segment_body(t, env, cfg), s)
+            else:
+                s = segment_body(s, env, cfg)
             died = (prev != 0) & (s.active == 0)
             s = s._replace(tstep=jnp.where(died, step + 1 + k, s.tstep))
         return (step + max(1, cfg.step_chunk), jnp.sum(s.active), s)

@@ -82,6 +82,16 @@ class ObjectPool:
         n = self.objs_num
         if n > NS_MAX:
             raise ValueError(f"too many live objects for device path: {n}")
+        # native C++ rebuild when available (host/native.py); identical
+        # semantics incl. insertion order - differentially tested
+        try:
+            from ..host import native
+            res = native.prepare_render_native(self, K_BUCKET)
+        except Exception:
+            res = None
+        if res is not None:
+            buckets, counts, _masks, _ = res
+            return self._soa(n, buckets, counts)
         counts = np.zeros((64, 64), np.int32)
         buckets = np.full((64, 64, K_BUCKET), -1, np.int32)
         for i in range(n):
@@ -105,7 +115,10 @@ class ObjectPool:
                     assert k < K_BUCKET, "bucket overflow; raise K_BUCKET"
                     buckets[cz, cx, k] = i
                     counts[cz, cx] = k + 1
+        return self._soa(n, buckets, counts)
 
+    def _soa(self, n: int, buckets: np.ndarray,
+             counts: np.ndarray) -> SphereSet:
         pos = np.zeros((NS_MAX, 3), np.float32)
         rr = np.zeros(NS_MAX, np.float32)
         refl = np.zeros(NS_MAX, np.float32)
