@@ -116,13 +116,6 @@ class ScalarWorld:
         return v * self.rsqrt(s)
 
 
-class _Hit(Exception):
-    """Control-flow for the reference's early returns."""
-
-    def __init__(self, col: np.ndarray):
-        self.col = col
-
-
 class ScalarTracer:
     def __init__(self, world: ScalarWorld, sec_current: float = 0.0,
                  pinned: bool = False):
