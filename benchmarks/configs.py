@@ -204,13 +204,41 @@ def bench_multicam():
 
 
 def bench_ptrace():
+    """Config #5: multi-bounce (reflect=6) + 4-sample distribution
+    path tracing at 1080p."""
+    import jax.numpy as jnp
+
+    from pwnfps_tpu.core.config import RenderConfig
+    from pwnfps_tpu.render.camera import camera_vectors, mat4_identity, \
+        mat4_roty
+    from pwnfps_tpu.render.frame import render_accumulated
     from pwnfps_tpu.world.levelc import load_level
+
     path = "/root/reference/level.txt" if os.path.exists(
         "/root/reference/level.txt") else os.path.join(
         os.path.dirname(__file__), "..", "assets", "levels", "demo.txt")
     lv = load_level(path)
-    return _time_frames(_std_render(lv, 1920, 1080, (9.5, 0.3, 5.5),
-                                    reflect=6), n=4)
+    world, meta = _setup(lv, (9.5, 0.3, 5.5))
+    cfg = RenderConfig(width=1920, height=1080, backend="pallas",
+                       reflect=6, postproc_blur=1)
+    cam0 = mat4_identity()
+    sx, sz = lv.spawn
+    cam0[3, :3] = (sx + 0.5, 0.5, sz + 0.5)
+
+    def render(k):
+        cam = cam0.copy()
+        mat4_roty(cam, 0.05 * k)
+        o, rb, rx, ry = camera_vectors(cam, 1920, 1080)
+        fb, zb = render_accumulated(world, meta, cfg, jnp.asarray(o),
+                                    jnp.asarray(rb), jnp.asarray(rx),
+                                    jnp.asarray(ry),
+                                    np.float32(0.016 * k), samples=4)
+        return fb
+
+    out = _time_frames(render, n=3)
+    out["samples"] = 4
+    out["reflect"] = 6
+    return out
 
 
 ALL = {"parity": bench_parity, "stress": bench_stress,

@@ -51,35 +51,25 @@ E4 = F(0.041666667908430099)
 E5 = F(0.0083333337679505348)
 
 
-def _nf(v, xp):
-    """No-fuse: XLA contracts mul+add chains into FMA (C with
-    -ffp-contract=off and numpy do not); pin each product."""
-    if xp is np:
-        return v
-    import jax
-    return jax.lax.optimization_barrier(v)
-
-
 def _kernel_sin(r, r2, xp):
-    p = S3 + _nf(r2 * S4, xp)
-    p = S2 + _nf(r2 * p, xp)
-    p = S1 + _nf(r2 * p, xp)
-    return r + _nf(_nf(r * r2, xp) * p, xp)
+    p = S3 + (r2 * S4)
+    p = S2 + (r2 * p)
+    p = S1 + (r2 * p)
+    return r + ((r * r2) * p)
 
 
 def _kernel_cos(r, r2, xp):
-    p = C3 + _nf(r2 * C4, xp)
-    p = C2 + _nf(r2 * p, xp)
-    p = C1 + _nf(r2 * p, xp)
-    return (F(1.0) - _nf(r2 * F(0.5), xp)) \
-        + _nf(_nf(r2 * r2, xp) * p, xp)
+    p = C3 + (r2 * C4)
+    p = C2 + (r2 * p)
+    p = C1 + (r2 * p)
+    return (F(1.0) - (r2 * F(0.5))) + ((r2 * r2) * p)
 
 
 def _reduce(x, xp):
-    j = xp.floor(_nf(x * TWO_OVER_PI, xp) + F(0.5))
-    r = x - _nf(j * PIO2_HI, xp)
-    r = r - _nf(j * PIO2_MID, xp)
-    r = r - _nf(j * PIO2_LO, xp)
+    j = xp.floor((x * TWO_OVER_PI) + F(0.5))
+    r = x - (j * PIO2_HI)
+    r = r - (j * PIO2_MID)
+    r = r - (j * PIO2_LO)
     n = j.astype(xp.int32) & 3
     return r, n
 
@@ -110,15 +100,15 @@ def cos_det(x, xp=np):
 
 def exp_det(x, xp=np):
     x = xp.asarray(x, np.float32)
-    k = xp.floor(_nf(x * INV_LN2, xp) + F(0.5))
-    r = x - _nf(k * LN2_HI, xp)
-    r = r - _nf(k * LN2_LO, xp)
-    r = r - _nf(k * LN2_LO2, xp)
-    p = E4 + _nf(r * E5, xp)
-    p = E3 + _nf(r * p, xp)
-    p = E2 + _nf(r * p, xp)
-    p = E0 + _nf(r * p, xp)
-    p = E0 + _nf(r * p, xp)            # 1 + r*(1 + r*(1/2 + ...))
+    k = xp.floor((x * INV_LN2) + F(0.5))
+    r = x - (k * LN2_HI)
+    r = r - (k * LN2_LO)
+    r = r - (k * LN2_LO2)
+    p = E4 + (r * E5)
+    p = E3 + (r * p)
+    p = E2 + (r * p)
+    p = E0 + (r * p)
+    p = E0 + (r * p)            # 1 + r*(1 + r*(1/2 + ...))
     ki = k.astype(xp.int32)
     e = ki + 127
     e = xp.clip(e, 0, 254)             # clamp huge

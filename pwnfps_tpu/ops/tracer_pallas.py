@@ -16,8 +16,11 @@ gathers:
   * the LCG runs in int32 (identical bit patterns; Mosaic lacks
     uint32->f32 casts).
 
-This is the fast path (cfg.parity is ignored: hardware rsqrt/rcp).
-Differentially tested against the jnp backend in tests/test_pallas.py.
+Both modes run in-kernel: fast (hardware rsqrt/rcp/div/sqrt/
+transcendentals) and parity (SSE-table rsqrt/rcp via chunked gathers,
+integer-exact div/sqrt, the pinned libm) - so the Mosaic kernel itself
+is bit-exact against the pinned CPU reference.  Differentially tested
+against the jnp backend in tests/test_pallas.py.
 """
 
 from __future__ import annotations
@@ -31,7 +34,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..core import detmath
+from ..core.approx import BLOCK as APPROX_BLOCK
 from ..core.config import RenderConfig
+from ..core.ieee import div_rn, sqrt_rn
 from . import worlddev as W
 from .tracer_core import (CellFields, Env, Math, SegState,
                           decode_portal_word, trace_wave_env,
@@ -44,21 +50,32 @@ I32 = jnp.int32
 import os as _os
 
 # rays per grid program; 8192 measured fastest at 1080p on v5e (bigger
-# tiles amortize per-program overhead; 32768 exceeds scoped VMEM)
+# tiles amortize per-program overhead; 32768 exceeds scoped VMEM).
+# Parity mode carries 3MB of extra exact-math tables per tile-row set,
+# so it caps the tile at 2048 rays to stay inside scoped VMEM.
 TILE = int(_os.environ.get("PWNFPS_PALLAS_TILE", "8192"))
-ROWS = TILE // 128     # sublane rows per tile
+PARITY_TILE = min(TILE, 2048)
 NSPH_MAX = 15          # sphere-mask width (bucket capacity bound)
 
 
+def _rows(parity: bool) -> int:
+    return (PARITY_TILE if parity else TILE) // 128
+
+
 class PallasTables(NamedTuple):
-    word: jnp.ndarray    # [256,128] i32: full channel word, chunk bcast
-    cword: jnp.ndarray   # [64,128] i32: compact byte/cell (4 cells/i32)
-    mask: jnp.ndarray    # [256,128] i32: per-cell sphere membership bits
+    word: jnp.ndarray    # [32*ROWS,128] i32: full channel word, bcast
+    cword: jnp.ndarray   # [8*ROWS,128] i32: compact byte/cell (4/i32)
+    mask: jnp.ndarray    # [32*ROWS,128] i32: sphere membership bits
     sph: jnp.ndarray     # [16, 8] f32: x,y,z,r,refl,cb,cg,cr
+    rsqrt: jnp.ndarray   # [64*ROWS,128] i32: SSE rsqrtps result bits
+    rcp: jnp.ndarray     # [32*ROWS,128] i32: SSE rcpps result bits
 
 
-def build_tables(world: W.WorldDev, meta: W.WorldMeta) -> PallasTables:
+def build_tables(world: W.WorldDev, meta: W.WorldMeta,
+                 rows: int) -> PallasTables:
     """Per-frame device tables for the kernel (cheap jnp ops)."""
+    ROWS = rows
+
     def bcast_chunks(flat):   # [4096] -> [32*ROWS,128]
         return jnp.repeat(flat.reshape(32, 128), ROWS, axis=0)
 
@@ -85,28 +102,35 @@ def build_tables(world: W.WorldDev, meta: W.WorldMeta) -> PallasTables:
     sph = sph.at[:take, 3].set(world.sph_r[:take])
     sph = sph.at[:take, 4].set(world.sph_refl[:take])
     sph = sph.at[:take, 5:8].set(world.sph_col[:take])
+    def bcast_u32(flat, chunks):
+        return jnp.repeat(
+            jax.lax.bitcast_convert_type(flat, jnp.int32)
+            .reshape(chunks, 128), ROWS, axis=0)
+
     return PallasTables(word=bcast_chunks(world.word), cword=cword_b,
-                        mask=bcast_chunks(mask), sph=sph)
+                        mask=bcast_chunks(mask), sph=sph,
+                        rsqrt=bcast_u32(world.rsqrt_tab, 64),
+                        rcp=bcast_u32(world.rcp_tab, 32))
 
 
-def _chunked_gather(tab_ref, idx, chunks=32):
+def _chunked_gather(tab_ref, idx, rows, chunks=32):
     """tab_ref: chunk-broadcast table rows; idx in [0, 128*chunks)."""
     lo = idx & 127
     hi = idx >> 7
     out = jnp.zeros_like(idx)
     for c in range(chunks):
-        g = jnp.take_along_axis(tab_ref[ROWS * c:ROWS * (c + 1), :], lo,
+        g = jnp.take_along_axis(tab_ref[rows * c:rows * (c + 1), :], lo,
                                 axis=1)
         out = jnp.where(hi == c, g, out)
     return out
 
 
-def _compact_fetch(cword_ref, cx, cz) -> CellFields:
+def _compact_fetch(cword_ref, cx, cz, rows) -> CellFields:
     """Common-path fields from the 4-cells-per-int32 table: one 8-chunk
     gather + byte extract."""
     inb = (cx >= 0) & (cx < 64) & (cz >= 0) & (cz < 64)
     idx = jnp.where(inb, cz * 64 + cx, 0)
-    word = _chunked_gather(cword_ref, idx >> 2, chunks=8)
+    word = _chunked_gather(cword_ref, idx >> 2, rows, chunks=8)
     byte = (word >> ((idx & 3) * 8)) & 0x7F
     return CellFields(cls=byte & 0xF, xcls2=(byte >> 4) & 3,
                       nsph=(byte >> 6) & 1, cell_idx=idx)
@@ -119,9 +143,55 @@ def _randfs_i32(s):
     return s, f * F32(2.0) - F32(1.0)
 
 
-def _sphere_pass_pallas(mask_ref, sph_ref, n_spheres: int):
+def _parity_math(rsqrt_ref, rcp_ref, rows) -> Math:
+    """Bit-exact math bundle inside the kernel: SSE-table rsqrt/rcp via
+    chunked hardware gathers, integer-exact div/sqrt, the pinned libm
+    (all built from ops Mosaic supports: int alu, bitcast, fori)."""
+    def _emu(tab_ref, chunks, idx):
+        return _chunked_gather(tab_ref, idx, rows, chunks=chunks)
+
+    def rsq(x):
+        bits = jax.lax.bitcast_convert_type(x, jnp.int32)
+        e = (bits >> 23) & 0xFF
+        m = bits & 0x7FFFFF
+        d = e - 127
+        k = d >> 1
+        ppar = d - 2 * k
+        idx = ppar * 4096 + (m >> APPROX_BLOCK)
+        y = jax.lax.bitcast_convert_type(_emu(rsqrt_ref, 64, idx),
+                                         jnp.float32)
+        scale = jax.lax.bitcast_convert_type((127 - k) << 23, jnp.float32)
+        return y * scale
+
+    def rcp(x):
+        bits = jax.lax.bitcast_convert_type(x, jnp.int32)
+        e = (bits >> 23) & 0xFF
+        m = bits & 0x7FFFFF
+        k = e - 127
+        idx = m >> APPROX_BLOCK
+        y = jax.lax.bitcast_convert_type(_emu(rcp_ref, 32, idx),
+                                         jnp.float32)
+        scale = jax.lax.bitcast_convert_type((127 - k) << 23, jnp.float32)
+        return y * scale
+
+    return Math(rsq=rsq, rcp=rcp,
+                div=lambda a, b: div_rn(a, b, jnp),
+                sqrt=lambda x: sqrt_rn(x, jnp),
+                sin=lambda x: detmath.sin_det(x, jnp),
+                cos=lambda x: detmath.cos_det(x, jnp),
+                exp=lambda x: detmath.exp_det(x, jnp))
+
+
+def _fast_math() -> Math:
+    return Math(rsq=jax.lax.rsqrt, rcp=lambda x: 1.0 / x,
+                div=lambda a, b: a / b, sqrt=jnp.sqrt,
+                sin=jnp.sin, cos=jnp.cos, exp=jnp.exp)
+
+
+def _sphere_pass_pallas(mask_ref, sph_ref, n_spheres: int, math: Math,
+                        rows: int):
     def run(s: SegState, inb, f: CellFields) -> SegState:
-        m = _chunked_gather(mask_ref, f.cell_idx)
+        m = _chunked_gather(mask_ref, f.cell_idx, rows)
         aux_dist, aux_refl = s.aux_dist, s.aux_refl
         aux_pos, aux_norm, aux_col = s.aux_pos, s.aux_norm, s.aux_col
         for si in range(n_spheres):
@@ -132,19 +202,21 @@ def _sphere_pass_pallas(mask_ref, sph_ref, n_spheres: int):
                       sph_ref[si, 2] + jnp.zeros_like(s.pos.x))
             sr = sph_ref[si, 3]
             srefl = sph_ref[si, 4]
-            rad2 = sr * sr
+            # lane-shaped: Mosaic bitcasts (used by the exact-math div)
+            # only accept vectors
+            rad2 = (sr * sr) + jnp.zeros_like(s.pos.x)
             rel = spos - s.pos
             dist2 = dot_sse(rel, rel)
             dot = dot_sse(rel, s.ray)
             calcrad2 = dist2 - dot * dot
             safe_rad2 = jnp.maximum(rad2, F32(1e-30))
-            sph_dist = jnp.sqrt(dist2) - jnp.sqrt(jnp.maximum(
-                F32(1.0) - calcrad2 / safe_rad2, F32(0.0)))
+            sph_dist = math.sqrt(dist2) - math.sqrt(jnp.maximum(
+                F32(1.0) - math.div(calcrad2, safe_rad2), F32(0.0)))
             upd = (valid & (dot > 0.0) & (calcrad2 < rad2)
                    & ((aux_dist == F32(-1.0))
                       | (sph_dist + s.cdist < aux_dist)))
             apos = s.pos + sph_dist * s.ray
-            anorm = normalise_sse(apos - spos, jax.lax.rsqrt)
+            anorm = normalise_sse(apos - spos, math.rsq)
             diff = jnp.maximum(-dot_sse(s.ray, anorm), 0.0)
             diff = F32(0.2) + F32(0.8) * diff
             zero = jnp.zeros_like(diff)
@@ -163,22 +235,25 @@ def _sphere_pass_pallas(mask_ref, sph_ref, n_spheres: int):
 
 
 def _kernel(cfg: RenderConfig, n_spheres: int,
-            word_ref, cword_ref, mask_ref, sph_ref, sec_ref,
+            word_ref, cword_ref, mask_ref, sph_ref,
+            rsqrt_ref, rcp_ref, sec_ref,
             fx, fy, fz, rx, ry, rz, seed_ref,
             ob, og, orr, oa, od):
+    rows = _rows(cfg.parity)
+
     def fetch(cx, cz) -> CellFields:
-        return _compact_fetch(cword_ref, cx, cz)
+        return _compact_fetch(cword_ref, cx, cz, rows)
 
     def fetch_portal(cell_idx):
-        w = _chunked_gather(word_ref, cell_idx)
+        w = _chunked_gather(word_ref, cell_idx, rows)
         return decode_portal_word(w)
 
-    sphere_pass = (_sphere_pass_pallas(mask_ref, sph_ref, n_spheres)
+    math = _parity_math(rsqrt_ref, rcp_ref, rows) if cfg.parity \
+        else _fast_math()
+    sphere_pass = (_sphere_pass_pallas(mask_ref, sph_ref, n_spheres,
+                                       math, rows)
                    if n_spheres > 0 else None)
-    env = Env(math=Math(rsq=jax.lax.rsqrt, rcp=lambda x: 1.0 / x,
-                        div=lambda a, b: a / b, sqrt=jnp.sqrt,
-                        sin=jnp.sin, cos=jnp.cos, exp=jnp.exp),
-              fetch=fetch, fetch_portal=fetch_portal,
+    env = Env(math=math, fetch=fetch, fetch_portal=fetch_portal,
               sphere_pass=sphere_pass, randfs=_randfs_i32)
 
     ifrom = V3(fx[:], fy[:], fz[:])
@@ -197,8 +272,10 @@ def _kernel(cfg: RenderConfig, n_spheres: int,
 def _trace_pallas(tables: PallasTables, cfg: RenderConfig,
                   n_spheres: int, n_rays: int,
                   fx, fy, fz, rx, ry, rz, seeds, sec):
-    n_pad = -(-n_rays // TILE) * TILE
-    tiles = n_pad // TILE
+    tile = PARITY_TILE if cfg.parity else TILE
+    ROWS = tile // 128
+    n_pad = -(-n_rays // tile) * tile
+    tiles = n_pad // tile
 
     def pad(a, fill):
         return jnp.pad(a, (0, n_pad - n_rays),
@@ -220,6 +297,7 @@ def _trace_pallas(tables: PallasTables, cfg: RenderConfig,
         grid=(tiles,),
         in_specs=[full((32 * ROWS, 128)), full((8 * ROWS, 128)),
                   full((32 * ROWS, 128)), full((16, 8)),
+                  full((64 * ROWS, 128)), full((32 * ROWS, 128)),
                   pl.BlockSpec((1, 1), lambda i: (0, 0),
                                memory_space=pltpu.SMEM),
                   tile_spec, tile_spec, tile_spec,
@@ -230,7 +308,8 @@ def _trace_pallas(tables: PallasTables, cfg: RenderConfig,
     kern = functools.partial(_kernel, cfg, n_spheres)
     ob, og, orr, oa, od = pl.pallas_call(
         kern, out_shape=outs, grid_spec=grid_spec,
-    )(tables.word, tables.cword, tables.mask, tables.sph, sec2,
+    )(tables.word, tables.cword, tables.mask, tables.sph,
+      tables.rsqrt, tables.rcp, sec2,
       fx, fy, fz, rx, ry, rz, seeds)
 
     def unpad(a):
@@ -245,7 +324,7 @@ def trace_wave_pallas(world: W.WorldDev, meta: W.WorldMeta,
     assert meta.n_spheres <= NSPH_MAX, (
         f"pallas path supports <= {NSPH_MAX} spheres, got "
         f"{meta.n_spheres}")
-    tables = build_tables(world, meta)
+    tables = build_tables(world, meta, _rows(cfg.parity))
     n = ifrom.x.shape[0]
     return _trace_pallas(tables, cfg, meta.n_spheres, n,
                          ifrom.x, ifrom.y, ifrom.z,

@@ -87,6 +87,52 @@ def render_frame(world: W.WorldDev, meta: W.WorldMeta, cfg: RenderConfig,
     return fb, zbuf
 
 
+@partial(jax.jit, static_argnames=("meta", "cfg", "samples"))
+def render_accumulated(world: W.WorldDev, meta: W.WorldMeta,
+                       cfg: RenderConfig, origin, rayb, rdx, rdy, sec,
+                       samples: int = 4):
+    """Distribution path tracing (BASELINE config #5): average `samples`
+    renders whose stochastic parts (reflect blur, DoF jitter) are
+    decorrelated by re-deriving the per-pixel seed stream per sample.
+    Use with cfg.reflect > 2 for deep multi-bounce transport.
+
+    Returns (fb uint32 [h,w] of the averaged image, zbuf of sample 0).
+    """
+    h, w = cfg.height, cfg.width
+    rays = gen_rays(rayb, rdx, rdy, w, h, cfg.parity)
+    n = h * w
+    xs = jnp.arange(w, dtype=jnp.uint32)
+    ys = jnp.arange(h, dtype=jnp.uint32)
+    base_seed = lcg.pixel_seed(xs[None, :], ys[:, None], w).reshape(-1)
+    ifrom = V3(jnp.broadcast_to(origin[0], (n,)),
+               jnp.broadcast_to(origin[1], (n,)),
+               jnp.broadcast_to(origin[2], (n,)))
+    acc = None
+    zbuf0 = None
+    for k in range(samples):
+        # decorrelate via a Weyl increment on the seed stream
+        seeds = base_seed + jnp.uint32(k) * jnp.uint32(0x9E3779B9)
+        if cfg.backend == "pallas":
+            from ..ops.tracer_pallas import trace_wave_pallas
+            col4, dist = trace_wave_pallas(world, meta, cfg, ifrom, rays,
+                                           seeds, sec)
+        else:
+            col4, dist = trace_wave(world, meta, cfg, ifrom, rays, seeds,
+                                    sec)
+        if k == 0:
+            zbuf0 = dist.reshape(h, w)
+            acc = list(col4)
+        else:
+            acc = [a + c for a, c in zip(acc, col4)]
+    inv = jnp.float32(1.0 / samples)
+    from ..ops.vec import C4
+    mean = C4(*(a * inv for a in acc))
+    fb = col_ftoint(mean).reshape(h, w)
+    if cfg.postproc_blur:
+        fb = dof_blur(fb, zbuf0, cfg.postproc_blur)
+    return fb, zbuf0
+
+
 def upscale(fb: np.ndarray, scale: int) -> np.ndarray:
     """Nearest-neighbour integer upscale (screen.h:126-149), host-side."""
     return np.repeat(np.repeat(fb, scale, axis=0), scale, axis=1)

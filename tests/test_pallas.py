@@ -53,12 +53,13 @@ def _col_np(c):
     return np.stack([np.asarray(x) for x in c], axis=1)
 
 
-def test_pallas_matches_jnp():
+@pytest.mark.parametrize("parity", [False, True])
+def test_pallas_matches_jnp(parity):
     on_tpu = jax.devices()[0].platform != "cpu"
     world, meta = _setup()
     # small workload + bounded steps so interpret mode stays tractable
     n = 256 if on_tpu else 32
-    cfg = RenderConfig(parity=False,
+    cfg = RenderConfig(parity=parity,
                        maxsteps=1000 if on_tpu else 48)
     fv, rv, seeds = _rays(n)
     sec = np.float32(2.5)
