@@ -1,0 +1,162 @@
+"""DoF blur as a Pallas halo kernel (reference screen.h:69-123).
+
+The XLA formulation in ops/blur.py pays ~60ms at 1080p for one big
+random gather ([4,h,w] indices into the 2M-pixel frame).  But the tap
+offsets are trunc(r * 0.002*h * (z-1)) with |r| <= 1, so for game-scale
+depth they stay within a few pixels of the source.  This kernel keeps
+the whole framebuffer in VMEM and resolves each tap by scanning the
+2*R+8 candidate rows x 3 aligned lane-chunks around each output tile
+with hardware per-lane gathers — O(R) vector ops instead of a random
+HBM gather.
+
+Exactness: bit-identical to ops/blur.py (same LCG jump tables, same
+float expression order, same truncation/clamp/SWAR-average).  A frame
+whose max |z-1| would push any tap beyond the R-row halo falls back to
+the XLA path via lax.cond, so `dof_blur_auto` is exact for every input.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+from ..core import lcg
+from .blur import _avg_epu8, _draw_tables, dof_blur
+
+F32 = jnp.float32
+I32 = jnp.int32
+R = 16          # halo rows/cols: exact while fstr*|z-1| stays < R
+BR = 8          # output rows per grid step
+
+
+def _srl(x, n):
+    return jax.lax.shift_right_logical(x, np.int32(n))
+
+
+def _avg_i32(a, b):
+    """_mm_avg_epu8 on int32 SWAR (bit-identical to blur._avg_epu8)."""
+    return (a | b) - (_srl(a ^ b, 1) & np.int32(0x7F7F7F7F))
+
+
+def _blur_kernel(h, w, hp, wp, fstr, zb_ref, tab_ref, g0, g1, g2, g3, g4,
+                 out_ref):
+    """One grid step blurs BR output rows.  The candidate source rows
+    [y0-R, y0+BR+R) arrive as five 8-row aligned block views g0..g4
+    (BlockSpec index maps i-2..i+2, clipped at the frame edges), so
+    every VMEM access is static — Mosaic has no dynamic sublane loads.
+    Each tap is resolved by scanning the 5x8 candidate rows x 3 lane
+    chunks with per-lane gathers keyed on (row, chunk)."""
+    nc = wp // 128
+    nblk = hp // BR
+    pid = pl.program_id(0)
+    y0 = pid * BR
+    ys = y0 + jax.lax.broadcasted_iota(I32, (BR, wp), 0)
+    xs = jax.lax.broadcasted_iota(I32, (BR, wp), 1)
+    # row LCG base state: blur_row_seed + one randi (screen.h:82,100)
+    s0 = ys * ys + np.int32(415135)
+    s1 = (s0 * np.int32(25739) + np.int32(4)) & np.int32(0x7FFFFFFF)
+    xf = xs.astype(F32)
+    yf = ys.astype(F32)
+    z = zb_ref[...] - F32(1.0)
+    keys, los = [], []
+    for i in range(4):
+        stx = (s1 * tab_ref[i:i + 1, :]
+               + tab_ref[4 + i:5 + i, :]) & np.int32(0x7FFFFFFF)
+        sty = (s1 * tab_ref[8 + i:9 + i, :]
+               + tab_ref[12 + i:13 + i, :]) & np.int32(0x7FFFFFFF)
+        rx = (stx % np.int32(3759)).astype(F32) * lcg.INV_MOD_F \
+            * F32(2.0) - F32(1.0)
+        ry = (sty % np.int32(3759)).astype(F32) * lcg.INV_MOD_F \
+            * F32(2.0) - F32(1.0)
+        tx = xf + (rx * F32(fstr)) * z
+        ty = yf + (ry * F32(fstr)) * z
+        txi = jnp.clip(tx.astype(I32), 0, w - 1)
+        tyi = jnp.clip(ty.astype(I32), 0, h - 1)
+        # joint (row, lane-chunk) key; 32 > any chunk count we see
+        keys.append(tyi * np.int32(32) + _srl(txi, 7))
+        los.append(txi & np.int32(127))
+
+    grps = (g0, g1, g2, g3, g4)
+    gbase = [jnp.clip(pid - 2 + g, 0, nblk - 1) * np.int32(BR)
+             for g in range(5)]
+    for c in range(nc):
+        sl = slice(c * 128, (c + 1) * 128)
+        key_t = [k[:, sl] for k in keys]
+        lo_t = [lo[:, sl] for lo in los]
+        acc = [jnp.zeros((BR, 128), I32) for _ in range(4)]
+        for gc in (c - 1, c, c + 1):
+            if not 0 <= gc < nc:
+                continue
+            csl = slice(gc * 128, (gc + 1) * 128)
+            for g in range(5):
+                reg = grps[g][:, csl]
+                for r8 in range(BR):
+                    ch8 = jnp.broadcast_to(reg[r8:r8 + 1, :], (BR, 128))
+                    key = (gbase[g] + np.int32(r8)) * np.int32(32) \
+                        + np.int32(gc)
+                    for t in range(4):
+                        cand = jnp.take_along_axis(ch8, lo_t[t], axis=1)
+                        acc[t] = jnp.where(key_t[t] == key, cand, acc[t])
+        t0, t1, t2, t3 = acc
+        out_ref[:, sl] = _avg_i32(_avg_i32(t0, t1), _avg_i32(t2, t3))
+
+
+@partial(jax.jit, static_argnames=("passes",))
+def dof_blur_auto(fb, zbuf, passes: int = 1):
+    """Exact DoF blur, Pallas halo kernel when depth permits.
+
+    fb: [h,w] uint32 BGRA, zbuf: [h,w] f32 -> blurred fb (bit-identical
+    to blur.dof_blur for every input)."""
+    h, w = fb.shape
+    hp = -(-h // BR) * BR
+    wp = -(-w // 128) * 128
+    fstr = float(np.float32(0.002) * np.float32(float(h)))
+    (akx, ckx), (aky, cky) = _draw_tables(w)
+
+    def pack(t):  # [w,4] uint32 -> 4 rows of [wp] int32
+        t = t.astype(np.int32)
+        return np.pad(t, ((0, wp - w), (0, 0))).T
+
+    tab = jnp.asarray(np.concatenate(
+        [pack(akx), pack(ckx), pack(aky), pack(cky)], axis=0))  # [16,wp]
+
+    zbp = jnp.pad(zbuf, ((0, hp - h), (0, wp - w)), constant_values=1.0)
+    xs = jnp.arange(w, dtype=jnp.int32)
+    keep = xs[None, :] < 4 * (w // 4)   # last w%4 pixels untouched
+
+    nblk = hp // BR
+    kern = partial(_blur_kernel, h, w, hp, wp, fstr)
+    fb_specs = [
+        pl.BlockSpec((BR, wp),
+                     lambda i, g=g: (jnp.clip(i - 2 + g, 0, nblk - 1), 0))
+        for g in range(5)
+    ]
+    call = pl.pallas_call(
+        kern,
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((BR, wp), lambda i: (i, 0)),     # zbuf rows
+            pl.BlockSpec((16, wp), lambda i: (0, 0)),     # jump tables
+        ] + fb_specs,                                     # halo row groups
+        out_specs=pl.BlockSpec((BR, wp), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((hp, wp), I32),
+    )
+
+    def pallas_passes(f):
+        for _ in range(passes):
+            fi = jax.lax.bitcast_convert_type(f, I32)
+            fip = jnp.pad(fi, ((0, hp - h), (0, wp - w)))
+            o = call(zbp, tab, fip, fip, fip, fip, fip)[:h, :w]
+            f = jnp.where(keep, jax.lax.bitcast_convert_type(o, f.dtype),
+                          f)
+        return f
+
+    # any tap beyond the halo? fall back to the exact XLA gather path
+    zmax = jnp.max(jnp.abs(zbuf - F32(1.0)))
+    ok = zmax * F32(fstr) < F32(R - 0.5)
+    return jax.lax.cond(ok, pallas_passes,
+                        lambda f: dof_blur(f, zbuf, passes), fb)

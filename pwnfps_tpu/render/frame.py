@@ -29,6 +29,15 @@ from ..ops.vec import V3
 F32 = jnp.float32
 
 
+def _blur(cfg: RenderConfig, fb, zbuf):
+    """DoF blur; the pallas backend uses the VMEM halo kernel, which is
+    bit-identical to dof_blur and ~7x faster (ops/blur_pallas.py)."""
+    if cfg.backend == "pallas":
+        from ..ops.blur_pallas import dof_blur_auto
+        return dof_blur_auto(fb, zbuf, cfg.postproc_blur)
+    return dof_blur(fb, zbuf, cfg.postproc_blur)
+
+
 def gen_rays(rayb, rdx, rdy, width: int, height: int, parity: bool) -> V3:
     """Per-pixel ray directions as V3 of [h*w] arrays.
 
@@ -83,7 +92,7 @@ def render_frame(world: W.WorldDev, meta: W.WorldMeta, cfg: RenderConfig,
     fb = col_ftoint(col4).reshape(h, w)
     zbuf = dist.reshape(h, w)
     if cfg.postproc_blur:
-        fb = dof_blur(fb, zbuf, cfg.postproc_blur)
+        fb = _blur(cfg, fb, zbuf)
     return fb, zbuf
 
 
@@ -129,7 +138,7 @@ def render_accumulated(world: W.WorldDev, meta: W.WorldMeta,
     mean = C4(*(a * inv for a in acc))
     fb = col_ftoint(mean).reshape(h, w)
     if cfg.postproc_blur:
-        fb = dof_blur(fb, zbuf0, cfg.postproc_blur)
+        fb = _blur(cfg, fb, zbuf0)
     return fb, zbuf0
 
 

@@ -1,0 +1,57 @@
+"""Pallas halo DoF blur: bit-differential vs the XLA gather path.
+
+Covers both lax.cond branches: shallow depth (halo kernel) and deep
+depth (fallback to ops/blur.dof_blur), plus frame edges, non-multiple
+widths (w%128, w%4 tail rule) and multi-pass.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pwnfps_tpu.ops.blur import dof_blur
+from pwnfps_tpu.ops.blur_pallas import dof_blur_auto
+
+
+def _frame(h, w, zmax, seed):
+    rng = np.random.default_rng(seed)
+    fb = rng.integers(0, 2**32, (h, w), dtype=np.uint64).astype(np.uint32)
+    z = rng.uniform(1.0, zmax, (h, w)).astype(np.float32)
+    # bands of near/far depth so taps cluster and spread
+    z[h // 3:h // 2] = 1.01
+    z[:, : w // 4] = zmax
+    return jnp.asarray(fb), jnp.asarray(z)
+
+
+def _run(fn, fb, z, passes=1):
+    on_tpu = jax.devices()[0].platform != "cpu"
+    if on_tpu:
+        return np.asarray(fn(fb, z, passes))
+    from jax.experimental.pallas import tpu as pltpu
+    with pltpu.force_tpu_interpret_mode():
+        return np.asarray(fn(fb, z, passes))
+
+
+@pytest.mark.parametrize("h,w,zmax", [
+    (48, 256, 7.0),      # halo branch (fstr=0.096, offsets < 1)
+    (240, 320, 8.0),     # reference res, w%128 != 0
+    (64, 130, 5.0),      # w%4 == 2 tail rule
+    (40, 384, 4000.0),   # deep depth -> XLA fallback branch
+])
+def test_blur_pallas_bitexact(h, w, zmax):
+    fb, z = _frame(h, w, zmax, seed=h * 1000 + w)
+    got = _run(dof_blur_auto, fb, z)
+    want = np.asarray(jax.jit(dof_blur)(fb, z))
+    eq = got == want
+    assert eq.all(), (
+        f"{(~eq).sum()}/{eq.size} px differ, first at "
+        f"{np.argwhere(~eq)[0]}")
+
+
+def test_blur_pallas_multipass():
+    fb, z = _frame(56, 256, 6.0, seed=3)
+    got = _run(dof_blur_auto, fb, z, passes=2)
+    want = np.asarray(jax.jit(lambda f, zz: dof_blur(f, zz, 2))(fb, z))
+    assert (got == want).all()
