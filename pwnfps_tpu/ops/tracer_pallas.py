@@ -190,21 +190,30 @@ def _fast_math() -> Math:
 
 def _sphere_pass_pallas(mask_ref, sph_ref, n_spheres: int, math: Math,
                         rows: int):
+    """Two-phase form of trace.h:252-296: a cheap candidate loop keeps
+    only the winning sphere's parameters (last strictly-closer update,
+    preserving the reference's insertion-order tie-break), then one
+    shared shading computes position/normal/colour from the winner's
+    exact inputs -- bit-identical to shading inside the loop, ~3x
+    fewer vector ops and (in parity mode) 14x fewer table-gather
+    rsqrt calls per gated step."""
     def run(s: SegState, inb, f: CellFields) -> SegState:
         m = _chunked_gather(mask_ref, f.cell_idx, rows)
         aux_dist, aux_refl = s.aux_dist, s.aux_refl
-        aux_pos, aux_norm, aux_col = s.aux_pos, s.aux_norm, s.aux_col
+        zero = jnp.zeros_like(s.pos.x)
+        new = zero > F32(1.0)           # any update this step, per lane
+        w_sd = zero                     # winner's raw sph_dist
+        w_pos = V3(zero, zero, zero)    # winner's centre
+        w_col = (zero, zero, zero)      # winner's base colour
         for si in range(n_spheres):
             hit_slot = ((m >> si) & 1) > 0
             valid = (s.active != 0) & inb & hit_slot
-            spos = V3(sph_ref[si, 0] + jnp.zeros_like(s.pos.x),
-                      sph_ref[si, 1] + jnp.zeros_like(s.pos.x),
-                      sph_ref[si, 2] + jnp.zeros_like(s.pos.x))
+            spos = V3(sph_ref[si, 0] + zero, sph_ref[si, 1] + zero,
+                      sph_ref[si, 2] + zero)
             sr = sph_ref[si, 3]
-            srefl = sph_ref[si, 4]
             # lane-shaped: Mosaic bitcasts (used by the exact-math div)
             # only accept vectors
-            rad2 = (sr * sr) + jnp.zeros_like(s.pos.x)
+            rad2 = (sr * sr) + zero
             rel = spos - s.pos
             dist2 = dot_sse(rel, rel)
             dot = dot_sse(rel, s.ray)
@@ -215,21 +224,25 @@ def _sphere_pass_pallas(mask_ref, sph_ref, n_spheres: int, math: Math,
             upd = (valid & (dot > 0.0) & (calcrad2 < rad2)
                    & ((aux_dist == F32(-1.0))
                       | (sph_dist + s.cdist < aux_dist)))
-            apos = s.pos + sph_dist * s.ray
-            anorm = normalise_sse(apos - spos, math.rsq)
-            diff = jnp.maximum(-dot_sse(s.ray, anorm), 0.0)
-            diff = F32(0.2) + F32(0.8) * diff
-            zero = jnp.zeros_like(diff)
-            acol = C4(diff * sph_ref[si, 5], diff * sph_ref[si, 6],
-                      diff * sph_ref[si, 7], zero)
             aux_dist = jnp.where(upd, sph_dist + s.cdist, aux_dist)
-            aux_refl = jnp.where(upd, srefl, aux_refl)
-            aux_pos = apos.where(upd, aux_pos)
-            aux_norm = anorm.where(upd, aux_norm)
-            aux_col = acol.where(upd, aux_col)
-        return s._replace(aux_dist=aux_dist, aux_refl=aux_refl,
-                          aux_pos=aux_pos, aux_norm=aux_norm,
-                          aux_col=aux_col)
+            aux_refl = jnp.where(upd, sph_ref[si, 4], aux_refl)
+            new = new | upd
+            w_sd = jnp.where(upd, sph_dist, w_sd)
+            w_pos = spos.where(upd, w_pos)
+            w_col = tuple(jnp.where(upd, sph_ref[si, 5 + c], w_col[c])
+                          for c in range(3))
+        # shared shading of the winner (same float ops as in-loop)
+        apos = s.pos + w_sd * s.ray
+        anorm = normalise_sse(apos - w_pos, math.rsq)
+        diff = jnp.maximum(-dot_sse(s.ray, anorm), 0.0)
+        diff = F32(0.2) + F32(0.8) * diff
+        acol = C4(diff * w_col[0], diff * w_col[1], diff * w_col[2],
+                  zero)
+        return s._replace(
+            aux_dist=aux_dist, aux_refl=aux_refl,
+            aux_pos=apos.where(new, s.aux_pos),
+            aux_norm=anorm.where(new, s.aux_norm),
+            aux_col=acol.where(new, s.aux_col))
 
     return run
 
