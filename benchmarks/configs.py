@@ -47,7 +47,7 @@ def _setup(level, spheres_at=None):
     return jax.tree.map(jnp.asarray, world), meta
 
 
-def _time_frames(render, n=8):
+def _time_frames(render, n=8, rays_per_frame=None):
     import jax
     import jax.numpy as jnp
 
@@ -64,10 +64,16 @@ def _time_frames(render, n=8):
         np.asarray(probe(fb))
         ts.append(time.perf_counter() - t0)
     ts = np.array(ts)
-    return dict(ms_mean=float(ts.mean() * 1e3),
-                ms_p50=float(np.percentile(ts, 50) * 1e3),
-                ms_p99=float(np.percentile(ts, 99) * 1e3),
-                fps=float(1.0 / ts.mean()))
+    out = dict(ms_mean=float(ts.mean() * 1e3),
+               ms_p50=float(np.percentile(ts, 50) * 1e3),
+               ms_p99=float(np.percentile(ts, 99) * 1e3),
+               fps=float(1.0 / ts.mean()))
+    if rays_per_frame is None and hasattr(fb, "shape") and fb.ndim == 2:
+        rays_per_frame = int(fb.shape[0]) * int(fb.shape[1])
+    if rays_per_frame:
+        # primary rays only (bounce waves add up to 3x the traced rays)
+        out["mrays_per_sec"] = round(rays_per_frame * out["fps"] / 1e6, 1)
+    return out
 
 
 def _std_render(level, w, h, spheres_at, backend="pallas", reflect=2,

@@ -73,7 +73,7 @@ class Env(NamedTuple):
     math: Math
     fetch: Any         # fn(cx, cz) -> CellFields (OOB clamps to cell 0)
     fetch_portal: Any  # fn(cell_idx) -> (pkind, prot, pdcx, pdcz)
-    sphere_pass: Any   # fn(state, inb, fields) -> state  (may be None)
+    sphere_pass: Any   # fn(state, inb, fields) -> aux 5-tuple (or None)
     randfs: Any        # fn(seed) -> (seed, f32 value)
 
 
@@ -203,11 +203,19 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig) -> SegState:
 
     if env.sphere_pass is not None:
         # skip the whole sphere block unless some active ray stands in a
-        # bucketed cell (tile-uniform branch on the pallas path)
+        # bucketed cell (tile-uniform branch on the pallas path).  The
+        # cond yields ONLY the aux fields: Mosaic materializes every
+        # yielded lane, so returning the whole SegState here costs more
+        # than the sphere math it skips.
         any_sph = jnp.max(jnp.where((s.active != 0) & inb, f.nsph, 0)) > 0
-        s = jax.lax.cond(any_sph,
-                         lambda op: env.sphere_pass(*op),
-                         lambda op: op[0], (s, inb, f))
+        aux = jax.lax.cond(
+            any_sph,
+            lambda op: env.sphere_pass(*op),
+            lambda op: (op[0].aux_dist, op[0].aux_refl, op[0].aux_pos,
+                        op[0].aux_norm, op[0].aux_col),
+            (s, inb, f))
+        s = s._replace(aux_dist=aux[0], aux_refl=aux[1], aux_pos=aux[2],
+                       aux_norm=aux[3], aux_col=aux[4])
 
     is_floorish = (cls == W.FLOOR) | (cls == W.FOG) | (cls == W.LOWER)
     is_tall = (cls == W.TALL) | (cls == W.TALLFOG)

@@ -46,7 +46,7 @@ def _sphere_pass(world: W.WorldDev, meta: W.WorldMeta, math: Math):
     K = world.buckets.shape[0] // 4096
     ns = world.sph_pos.shape[0]
 
-    def run(s: SegState, inb, f: CellFields) -> SegState:
+    def run(s: SegState, inb, f: CellFields):
         aux_dist, aux_refl = s.aux_dist, s.aux_refl
         aux_pos, aux_norm, aux_col = s.aux_pos, s.aux_norm, s.aux_col
         for k in range(meta.k_bucket):
@@ -84,9 +84,7 @@ def _sphere_pass(world: W.WorldDev, meta: W.WorldMeta, math: Math):
             aux_pos = apos.where(upd, aux_pos)
             aux_norm = anorm.where(upd, aux_norm)
             aux_col = acol.where(upd, aux_col)
-        return s._replace(aux_dist=aux_dist, aux_refl=aux_refl,
-                          aux_pos=aux_pos, aux_norm=aux_norm,
-                          aux_col=aux_col)
+        return (aux_dist, aux_refl, aux_pos, aux_norm, aux_col)
 
     return run
 

@@ -63,34 +63,50 @@ def _rows(parity: bool) -> int:
 
 
 class PallasTables(NamedTuple):
-    word: jnp.ndarray    # [32*ROWS,128] i32: full channel word, bcast
-    cword: jnp.ndarray   # [8*ROWS,128] i32: compact byte/cell (4/i32)
-    mask: jnp.ndarray    # [32*ROWS,128] i32: sphere membership bits
+    word: jnp.ndarray    # [WC*ROWS,128] i32: full channel word, bcast
+    cword: jnp.ndarray   # [CC*ROWS,128] i32: compact byte/cell (4/i32)
+    mask: jnp.ndarray    # [WC*ROWS,128] i32: sphere membership bits
     sph: jnp.ndarray     # [16, 8] f32: x,y,z,r,refl,cb,cg,cr
     rsqrt: jnp.ndarray   # [64*ROWS,128] i32: SSE rsqrtps result bits
     rcp: jnp.ndarray     # [32*ROWS,128] i32: SSE rcpps result bits
 
 
+def _wchunks(lh: int) -> int:
+    return lh // 2          # 64*lh cells / 128 lanes
+
+
+def _cchunks(lh: int) -> int:
+    return lh // 8          # 64*lh cells / 4 per i32 / 128 lanes
+
+
 def build_tables(world: W.WorldDev, meta: W.WorldMeta,
                  rows: int) -> PallasTables:
-    """Per-frame device tables for the kernel (cheap jnp ops)."""
-    ROWS = rows
+    """Per-frame device tables for the kernel (cheap jnp ops).
 
-    def bcast_chunks(flat):   # [4096] -> [32*ROWS,128]
-        return jnp.repeat(flat.reshape(32, 128), ROWS, axis=0)
+    Cell tables cover only the first meta.lh grid rows: rows beyond hold
+    uniform pad whose compact byte is 0 — exactly what a chunked-gather
+    miss returns — so trimming cuts gather chunks and VMEM 64/lh-fold
+    without changing any fetched value."""
+    ROWS = rows
+    ncell = 64 * meta.lh
+
+    def bcast_chunks(flat):   # [4096] -> [wchunks*ROWS,128]
+        return jnp.repeat(flat[:ncell].reshape(_wchunks(meta.lh), 128),
+                          ROWS, axis=0)
 
     # compact common-path byte: cls(4) | xcls2(2) | has_sph(1)
-    w = world.word
+    w = world.word[:ncell]
     cbyte = (W.w_cls(w) | (xcls_compress(W.w_xcls(w)) << 4)
              | (jnp.where(W.w_nsph(w) > 0, 1, 0) << 6))
-    cb = cbyte.reshape(1024, 4)
+    cb = cbyte.reshape(ncell // 4, 4)
     cword = (cb[:, 0] | (cb[:, 1] << 8) | (cb[:, 2] << 16)
              | (cb[:, 3] << 24))
-    cword_b = jnp.repeat(cword.reshape(8, 128), ROWS, axis=0)
+    cword_b = jnp.repeat(cword.reshape(_cchunks(meta.lh), 128), ROWS,
+                         axis=0)
 
     K = world.buckets.shape[0] // 4096
-    b = world.buckets.reshape(4096, K)
-    mask = jnp.zeros(4096, jnp.int32)
+    b = world.buckets.reshape(4096, K)[:ncell]
+    mask = jnp.zeros(ncell, jnp.int32)
     for k in range(K):
         si = b[:, k]
         mask = mask | jnp.where(si >= 0, jnp.int32(1) << jnp.clip(si, 0, 30),
@@ -125,12 +141,13 @@ def _chunked_gather(tab_ref, idx, rows, chunks=32):
     return out
 
 
-def _compact_fetch(cword_ref, cx, cz, rows) -> CellFields:
-    """Common-path fields from the 4-cells-per-int32 table: one 8-chunk
-    gather + byte extract."""
+def _compact_fetch(cword_ref, cx, cz, rows, chunks) -> CellFields:
+    """Common-path fields from the 4-cells-per-int32 table: one chunked
+    gather + byte extract.  Cells beyond the table (grid rows >= meta.lh)
+    miss every chunk and read 0 == the pad cells' compact byte."""
     inb = (cx >= 0) & (cx < 64) & (cz >= 0) & (cz < 64)
     idx = jnp.where(inb, cz * 64 + cx, 0)
-    word = _chunked_gather(cword_ref, idx >> 2, rows, chunks=8)
+    word = _chunked_gather(cword_ref, idx >> 2, rows, chunks=chunks)
     byte = (word >> ((idx & 3) * 8)) & 0x7F
     return CellFields(cls=byte & 0xF, xcls2=(byte >> 4) & 3,
                       nsph=(byte >> 6) & 1, cell_idx=idx)
@@ -189,7 +206,7 @@ def _fast_math() -> Math:
 
 
 def _sphere_pass_pallas(mask_ref, sph_ref, n_spheres: int, math: Math,
-                        rows: int):
+                        rows: int, wchunks: int):
     """Two-phase form of trace.h:252-296: a cheap candidate loop keeps
     only the winning sphere's parameters (last strictly-closer update,
     preserving the reference's insertion-order tie-break), then one
@@ -197,8 +214,8 @@ def _sphere_pass_pallas(mask_ref, sph_ref, n_spheres: int, math: Math,
     exact inputs -- bit-identical to shading inside the loop, ~3x
     fewer vector ops and (in parity mode) 14x fewer table-gather
     rsqrt calls per gated step."""
-    def run(s: SegState, inb, f: CellFields) -> SegState:
-        m = _chunked_gather(mask_ref, f.cell_idx, rows)
+    def run(s: SegState, inb, f: CellFields):
+        m = _chunked_gather(mask_ref, f.cell_idx, rows, chunks=wchunks)
         aux_dist, aux_refl = s.aux_dist, s.aux_refl
         zero = jnp.zeros_like(s.pos.x)
         new = zero > F32(1.0)           # any update this step, per lane
@@ -238,16 +255,15 @@ def _sphere_pass_pallas(mask_ref, sph_ref, n_spheres: int, math: Math,
         diff = F32(0.2) + F32(0.8) * diff
         acol = C4(diff * w_col[0], diff * w_col[1], diff * w_col[2],
                   zero)
-        return s._replace(
-            aux_dist=aux_dist, aux_refl=aux_refl,
-            aux_pos=apos.where(new, s.aux_pos),
-            aux_norm=anorm.where(new, s.aux_norm),
-            aux_col=acol.where(new, s.aux_col))
+        return (aux_dist, aux_refl,
+                apos.where(new, s.aux_pos),
+                anorm.where(new, s.aux_norm),
+                acol.where(new, s.aux_col))
 
     return run
 
 
-def _kernel(cfg: RenderConfig, n_spheres: int,
+def _kernel(cfg: RenderConfig, n_spheres: int, lh: int,
             word_ref, cword_ref, mask_ref, sph_ref,
             rsqrt_ref, rcp_ref, sec_ref,
             fx, fy, fz, rx, ry, rz, seed_ref,
@@ -255,16 +271,17 @@ def _kernel(cfg: RenderConfig, n_spheres: int,
     rows = _rows(cfg.parity)
 
     def fetch(cx, cz) -> CellFields:
-        return _compact_fetch(cword_ref, cx, cz, rows)
+        return _compact_fetch(cword_ref, cx, cz, rows, _cchunks(lh))
 
     def fetch_portal(cell_idx):
-        w = _chunked_gather(word_ref, cell_idx, rows)
+        w = _chunked_gather(word_ref, cell_idx, rows,
+                            chunks=_wchunks(lh))
         return decode_portal_word(w)
 
     math = _parity_math(rsqrt_ref, rcp_ref, rows) if cfg.parity \
         else _fast_math()
     sphere_pass = (_sphere_pass_pallas(mask_ref, sph_ref, n_spheres,
-                                       math, rows)
+                                       math, rows, _wchunks(lh))
                    if n_spheres > 0 else None)
     env = Env(math=math, fetch=fetch, fetch_portal=fetch_portal,
               sphere_pass=sphere_pass, randfs=_randfs_i32)
@@ -281,9 +298,9 @@ def _kernel(cfg: RenderConfig, n_spheres: int,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "n_spheres", "n_rays"))
+                   static_argnames=("cfg", "n_spheres", "n_rays", "lh"))
 def _trace_pallas(tables: PallasTables, cfg: RenderConfig,
-                  n_spheres: int, n_rays: int,
+                  n_spheres: int, n_rays: int, lh: int,
                   fx, fy, fz, rx, ry, rz, seeds, sec):
     tile = PARITY_TILE if cfg.parity else TILE
     ROWS = tile // 128
@@ -308,8 +325,9 @@ def _trace_pallas(tables: PallasTables, cfg: RenderConfig,
         memory_space=pltpu.VMEM)
     grid_spec = pl.GridSpec(
         grid=(tiles,),
-        in_specs=[full((32 * ROWS, 128)), full((8 * ROWS, 128)),
-                  full((32 * ROWS, 128)), full((16, 8)),
+        in_specs=[full((_wchunks(lh) * ROWS, 128)),
+                  full((_cchunks(lh) * ROWS, 128)),
+                  full((_wchunks(lh) * ROWS, 128)), full((16, 8)),
                   full((64 * ROWS, 128)), full((32 * ROWS, 128)),
                   pl.BlockSpec((1, 1), lambda i: (0, 0),
                                memory_space=pltpu.SMEM),
@@ -318,7 +336,7 @@ def _trace_pallas(tables: PallasTables, cfg: RenderConfig,
         out_specs=[tile_spec] * 5,
     )
     outs = [jax.ShapeDtypeStruct((tiles * ROWS, 128), jnp.float32)] * 5
-    kern = functools.partial(_kernel, cfg, n_spheres)
+    kern = functools.partial(_kernel, cfg, n_spheres, lh)
     ob, og, orr, oa, od = pl.pallas_call(
         kern, out_shape=outs, grid_spec=grid_spec,
     )(tables.word, tables.cword, tables.mask, tables.sph,
@@ -339,6 +357,6 @@ def trace_wave_pallas(world: W.WorldDev, meta: W.WorldMeta,
         f"{meta.n_spheres}")
     tables = build_tables(world, meta, _rows(cfg.parity))
     n = ifrom.x.shape[0]
-    return _trace_pallas(tables, cfg, meta.n_spheres, n,
+    return _trace_pallas(tables, cfg, meta.n_spheres, n, meta.lh,
                          ifrom.x, ifrom.y, ifrom.z,
                          iray.x, iray.y, iray.z, seed, sec)

@@ -67,6 +67,12 @@ class WorldMeta:
 
     k_bucket: int          # bucket slots the tracer must scan (0 = none)
     n_spheres: int
+    # rows of the 64x64 grid that hold level content or spheres, rounded
+    # up to a multiple of 8.  The pallas backend sizes its cell-table
+    # gather chunks by this: rows beyond it are uniform pad whose packed
+    # compact byte is 0 == the chunked-gather miss value, so trimming is
+    # bit-exact (tracer_pallas.build_tables).
+    lh: int = 64
 
 
 def _cls_to_refined(level: LevelData) -> np.ndarray:
@@ -128,7 +134,12 @@ def build_world(level: LevelData, spheres: SphereSet, tables: SseTables,
         rsqrt_tab=tables.rsqrt,
         rcp_tab=tables.rcp,
     )
-    return dev, WorldMeta(k_bucket=k_needed, n_spheres=max(n, 0))
+    grid_rows = np.nonzero(level.grid.any(axis=1))[0]
+    cnt_rows = np.nonzero(counts.reshape(64, 64).any(axis=1))[0]
+    last = max(int(grid_rows.max()) if grid_rows.size else 0,
+               int(cnt_rows.max()) if cnt_rows.size else 0)
+    lh = min(64, -(-(last + 1) // 8) * 8)
+    return dev, WorldMeta(k_bucket=k_needed, n_spheres=max(n, 0), lh=lh)
 
 
 # word decode helpers (work on numpy or jnp int32 arrays)

@@ -1,0 +1,69 @@
+"""Multi-chip sharding on the virtual 8-device CPU mesh (SURVEY §4.5).
+
+The reference's only parallelism is OpenMP over scanline blocks
+(screen.h:63-67); ours is jax.sharding over an ICI mesh.  These tests
+assert the sharded render is bit-identical to the single-device one for
+every mesh factorization, so chip count never changes pixels.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pwnfps_tpu.core.approx import SseTables
+from pwnfps_tpu.core.config import RenderConfig
+from pwnfps_tpu.ops import worlddev as W
+from pwnfps_tpu.parallel.sharding import make_mesh, render_cameras
+from pwnfps_tpu.world.levelc import load_level
+
+from .test_tracer_scalar import REF_LEVEL, make_spheres
+
+
+@pytest.fixture(scope="module")
+def setup():
+    lv = load_level(REF_LEVEL)
+    sph, _ = make_spheres()
+    world, meta = W.build_world(lv, sph, SseTables.load())
+    world = jax.tree.map(jnp.asarray, world)
+    cams = []
+    sx, sz = lv.spawn
+    for k in range(8):
+        c = np.eye(4, dtype=np.float32)
+        c[3, :3] = (sx + 0.5, 0.5, sz + 0.5)
+        ang = 0.7 * k
+        c[0, 0] = c[2, 2] = np.cos(ang)
+        c[0, 2], c[2, 0] = np.sin(ang), -np.sin(ang)
+        cams.append(c)
+    return world, meta, np.stack(cams)
+
+
+def _render(setup, n_cam, n_px, n_dev):
+    world, meta, cams = setup
+    cfg = RenderConfig(width=64, height=48, postproc_blur=1)
+    mesh = make_mesh(n_cam, n_px, jax.devices()[:n_dev])
+    return render_cameras(world, meta, cfg, cams, 0.8, mesh)
+
+
+def test_mesh_factorizations_bit_identical(setup):
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh (tests/conftest.py)")
+    ref = _render(setup, 1, 1, 1)          # single device
+    for n_cam, n_px in ((8, 1), (4, 2), (2, 4), (1, 8)):
+        got = _render(setup, n_cam, n_px, 8)
+        assert (got == ref).all(), (
+            f"mesh ({n_cam},{n_px}) diverged: "
+            f"{(got != ref).sum()}/{ref.size} px")
+
+
+def test_sharded_output_is_scene(setup):
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    fb = _render(setup, 2, 4, 8)
+    # all 8 viewpoints rendered, distinct, non-degenerate
+    assert fb.shape == (8, 48, 64)
+    flat = fb.reshape(8, -1)
+    assert all(np.unique(flat[k]).size > 16 for k in range(8))
+    sums = {int(flat[k].astype(np.int64).sum()) for k in range(8)}
+    assert len(sums) > 4, "rotated viewpoints should differ"
