@@ -119,11 +119,6 @@ class SegState(NamedTuple):
     tpos: V3
     tray: V3
     tstep: jnp.ndarray        # step index at termination (profiling)
-    padc: C4                  # EXPERIMENT: dummy carry-width probe
-    padv: V3
-    padw: V3
-    pads: jnp.ndarray
-    padt: jnp.ndarray
 
 
 class SegOut(NamedTuple):
@@ -182,8 +177,7 @@ def init_segment(ifrom: V3, iray: V3, active, env: Env) -> SegState:
         aux_dist=z1 - F32(1.0), aux_refl=z1 + F32(0.25),
         aux_pos=z3, aux_norm=z3, aux_col=C4(one, one, one, one),
         tkind=zi, tldir=zi, tcolid=zi, tfog=z1, tdist=z1, tpos=z3,
-        tray=ray, tstep=zi,
-        padc=C4(z1, z1, z1, z1), padv=z3, padw=z3, pads=z1, padt=z1)
+        tray=ray, tstep=zi)
 
 
 def _terminate(s: SegState, mask, kind, ldir=None, colid=None, fog=None,
@@ -598,6 +592,13 @@ def _lean_ok(s: SegState) -> jnp.ndarray:
 
 def run_segment(env: Env, cfg: RenderConfig, ifrom: V3, iray: V3,
                 active) -> SegOut:
+    chunk = max(1, cfg.step_chunk)
+    if cfg.maxsteps % chunk != 0:
+        # the while cond only checks at chunk boundaries; a non-divisor
+        # chunk would let rays march past maxsteps (reference caps at
+        # exactly 1000, trace.h:247), flipping sky-vs-hit outcomes.
+        raise ValueError(
+            f"step_chunk={chunk} must divide maxsteps={cfg.maxsteps}")
     s0 = init_segment(ifrom, iray, active, env)
     n_act0 = jnp.sum(active.astype(I32))
 
@@ -607,7 +608,7 @@ def run_segment(env: Env, cfg: RenderConfig, ifrom: V3, iray: V3,
 
     def body(carry):
         step, n_act, s = carry
-        for k in range(max(1, cfg.step_chunk)):
+        for k in range(chunk):
             prev = s.active
             if cfg.lean_step:
                 s = jax.lax.cond(
@@ -617,16 +618,8 @@ def run_segment(env: Env, cfg: RenderConfig, ifrom: V3, iray: V3,
             else:
                 s = segment_body(s, env, cfg)
             died = (prev != 0) & (s.active == 0)
-            s = s._replace(
-                tstep=jnp.where(died, step + 1 + k, s.tstep),
-                padc=C4(s.padc.b + F32(1.0), s.padc.g + F32(1.0),
-                        s.padc.r + F32(1.0), s.padc.a + F32(1.0)),
-                padv=V3(s.padv.x + F32(1.0), s.padv.y + F32(1.0),
-                        s.padv.z + F32(1.0)),
-                padw=V3(s.padw.x + F32(1.0), s.padw.y + F32(1.0),
-                        s.padw.z + F32(1.0)),
-                pads=s.pads + F32(1.0), padt=s.padt + F32(1.0))
-        return (step + max(1, cfg.step_chunk), jnp.sum(s.active), s)
+            s = s._replace(tstep=jnp.where(died, step + 1 + k, s.tstep))
+        return (step + chunk, jnp.sum(s.active), s)
 
     _, _, s = jax.lax.while_loop(cond, body, (jnp.int32(0), n_act0, s0))
     # still-active rays ran out of steps: sky colour = current ray dir
@@ -634,13 +627,9 @@ def run_segment(env: Env, cfg: RenderConfig, ifrom: V3, iray: V3,
     s = s._replace(tkind=jnp.where(left, T_SKY, s.tkind),
                    tray=s.ray.where(left, s.tray),
                    tstep=jnp.where(left, cfg.maxsteps, s.tstep))
-    live = (jnp.where(s.padc.b < F32(-1e30), 1, 0)
-            + jnp.where(s.padv.x < F32(-1e30), 1, 0)
-            + jnp.where(s.padw.x < F32(-1e30), 1, 0)
-            + jnp.where(s.pads + s.padt < F32(-1e30), 1, 0))
     return SegOut(tkind=s.tkind, tldir=s.tldir, tcolid=s.tcolid,
                   tfog=s.tfog, tdist=s.tdist, tpos=s.tpos, tray=s.tray,
-                  tstep=s.tstep + live,
+                  tstep=s.tstep,
                   aux_refl=s.aux_refl, aux_pos=s.aux_pos,
                   aux_norm=s.aux_norm, aux_col=s.aux_col)
 

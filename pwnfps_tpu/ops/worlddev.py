@@ -134,7 +134,10 @@ def build_world(level: LevelData, spheres: SphereSet, tables: SseTables,
         rsqrt_tab=tables.rsqrt,
         rcp_tab=tables.rcp,
     )
-    grid_rows = np.nonzero(level.grid.any(axis=1))[0]
+    # content rows = anything that isn't the '.' pad fill ('.' packs to
+    # class WALL with no portal/xcls channels, byte 0 in the compact
+    # table, which is exactly the chunked-gather miss value)
+    grid_rows = np.nonzero((level.grid != ord(".")).any(axis=1))[0]
     cnt_rows = np.nonzero(counts.reshape(64, 64).any(axis=1))[0]
     last = max(int(grid_rows.max()) if grid_rows.size else 0,
                int(cnt_rows.max()) if cnt_rows.size else 0)

@@ -106,13 +106,19 @@ class ObjectPool:
             # (level.h:27-31); no bounds clamp in the reference either.
             cx1, cz1 = int(x - r), int(z - r)
             cx2, cz2 = int(x + r), int(z + r)
-            assert 0 <= cx1 and cx2 < 64 and 0 <= cz1 and cz2 < 64, (
-                f"sphere {i} bbox out of grid: the reference would corrupt "
-                "memory here")
+            # ValueError (not assert): under `python -O` asserts vanish
+            # and an overflow would silently flip bit 31 of the packed
+            # cell word; match the native prepare_render's error path.
+            if not (0 <= cx1 and cx2 < 64 and 0 <= cz1 and cz2 < 64):
+                raise ValueError(
+                    f"sphere {i} bbox out of grid: the reference would "
+                    "corrupt memory here")
             for cz in range(cz1, cz2 + 1):
                 for cx in range(cx1, cx2 + 1):
                     k = counts[cz, cx]
-                    assert k < K_BUCKET, "bucket overflow; raise K_BUCKET"
+                    if k >= K_BUCKET:
+                        raise ValueError(
+                            "bucket overflow; raise K_BUCKET")
                     buckets[cz, cx, k] = i
                     counts[cz, cx] = k + 1
         return self._soa(n, buckets, counts)

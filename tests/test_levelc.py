@@ -135,3 +135,19 @@ def test_reference_level():
     assert (Y.x1, Y.z1, Y.x2, Y.z2) == (3, 12, 13, 24)
     assert lv.grid[24, 13] == ord("Y")
     lv.channels()
+
+
+@pytest.mark.skipif(not os.path.exists(REF_LEVEL),
+                    reason="reference level unavailable")
+def test_reference_level_extent_trim():
+    """The level-extent trim must engage: content in level.txt ends by
+    row 28, so meta.lh comes out 32 (not the safe-but-inert 64), halving
+    the pallas cell-table gather chunks and VMEM."""
+    from pwnfps_tpu.core.approx import SseTables
+    from pwnfps_tpu.ops import worlddev as W
+    from pwnfps_tpu.world.objects import ObjectPool
+
+    lv = load_level(REF_LEVEL)
+    _, meta = W.build_world(lv, ObjectPool().prepare_render(),
+                            SseTables.load())
+    assert meta.lh == 32
