@@ -69,6 +69,13 @@ class RenderConfig:
     # DDA steps executed per while-loop iteration (amortizes the Mosaic
     # loop-carry cost; the early-exit check runs once per chunk).
     step_chunk: int = 1
+    # empty-space skip (fast mode only; parity mode always steps one
+    # cell like the reference): rays in a cell whose clearance channel
+    # is c>0 cross c+1 cells per DDA step through class-uniform,
+    # sphere-free runs.  Semantics-preserving (see ops/worlddev.py);
+    # float bit patterns differ from single-cell stepping, so it is
+    # ignored when parity=True.
+    space_skip: bool = True
     # two-tier stepping: when every active ray in a tile is in a plain
     # floor/tall/wall cell with no pending sphere hit, run the lean
     # common-case body (~1/3 the ops) instead of the full one.  Within

@@ -27,7 +27,7 @@ from ..core.config import (COL_CEIL, COL_FLOOR, COL_MAGENTA, COL_WALL,
                            EPSILON, FXP, FZP, FXN, FZN, FYP, FYN,
                            RenderConfig)
 from . import worlddev as W
-from .vec import C4, V3, normalise_sse
+from .vec import C4, V3, dot_sse, normalise_sse
 
 F32 = jnp.float32
 I32 = jnp.int32
@@ -65,6 +65,7 @@ class CellFields(NamedTuple):
     xcls2: jnp.ndarray
     nsph: jnp.ndarray       # >0 iff the cell has sphere buckets
     cell_idx: jnp.ndarray   # clamped flat index (for bucket lookups)
+    clear: jnp.ndarray      # empty-space clearance (0 = step one cell)
 
 
 class Env(NamedTuple):
@@ -75,6 +76,12 @@ class Env(NamedTuple):
     fetch_portal: Any  # fn(cell_idx) -> (pkind, prot, pdcx, pdcz)
     sphere_pass: Any   # fn(state, inb, fields) -> aux 5-tuple (or None)
     randfs: Any        # fn(seed) -> (seed, f32 value)
+    # fast mode only: fn(state, mask) -> aux 5-tuple testing EVERY
+    # sphere against the lane's current ray line (no bucket gating).
+    # When set, sphere_pass must be None: candidates are hoisted out of
+    # the DDA loop at segment start and re-derived after portal
+    # rotations (see hoist_spheres for the equivalence argument).
+    sphere_all: Any = None
 
 
 def xcls_compress(xcls):
@@ -83,8 +90,11 @@ def xcls_compress(xcls):
 
 
 def decode_word(w, cell_idx) -> CellFields:
-    return CellFields(cls=W.w_cls(w), xcls2=xcls_compress(W.w_xcls(w)),
-                      nsph=W.w_nsph(w), cell_idx=cell_idx)
+    cls = W.w_cls(w)
+    # portal cells keep their biased pdcx in the clearance bits
+    clear = jnp.where(cls == W.PORTAL, 0, W.w_clear(w))
+    return CellFields(cls=cls, xcls2=xcls_compress(W.w_xcls(w)),
+                      nsph=W.w_nsph(w), cell_idx=cell_idx, clear=clear)
 
 
 def decode_portal_word(w):
@@ -107,6 +117,11 @@ class SegState(NamedTuple):
     ldir: jnp.ndarray
     active: jnp.ndarray
     aux_dist: jnp.ndarray
+    # hoisted-candidate AABB entry distance: no aux check may fire
+    # before it, and a line-change event drops candidates whose entry
+    # is still ahead.  -1 = entered (cell-registered or fired gate).
+    aux_t0: jnp.ndarray
+    sph_dirty: jnp.ndarray    # lane left its hoisted line (i32 flag)
     aux_refl: jnp.ndarray
     aux_pos: V3
     aux_norm: V3
@@ -138,6 +153,111 @@ class SegOut(NamedTuple):
 
 def _sel_fields(m, a: CellFields, b: CellFields) -> CellFields:
     return CellFields(*(jnp.where(m, x, y) for x, y in zip(a, b)))
+
+
+_FIRE_NONE = 3.0e38     # aux_fire sentinel while no candidate is pending
+
+
+def make_sphere_all(n_spheres: int, get_sphere, math: Math):
+    """Line-vs-all-spheres candidate pass for the fast path.
+
+    The reference registers a sphere candidate at the first DDA step
+    standing in one of its bucket cells (trace.h:252-296), with the
+    quirky value  aux = cdist_entry + |centre-pos_entry| - sqrt(1-d2/r2)
+    - POSITION-dependent (t + |rel(t)| is nondecreasing along the line,
+    so the first test wins all later strictly-closer updates).  Bucket
+    cells are exactly the sphere's XZ-AABB cells (level.h:21-39) and DDA
+    arrival at a cell is the slab crossing, so the entry position is
+    computable in closed form: this pass evaluates the reference formula
+    AT THE AABB ENTRY POINT, once per segment, instead of per step.
+
+    Firing: no aux-consuming check may trigger before the ray has
+    actually entered the AABB (else spheres would ghost through walls
+    standing in front of them), so alongside aux we carry the entry
+    distance aux_t0; every `cdist > aux` check in segment_body tests
+    max(aux, aux_t0) instead.  Winner across spheres is the one firing
+    first (min max(aux, t_entry), ties to min aux), reproducing the
+    reference's temporal entered-set evolution.  Residual deviation from
+    the cell-driven scan: sub-step timing (entry at exact slab time vs
+    the start-of-step test), ~1 DDA step - fast mode only; parity mode
+    keeps the exact scan, and lanes whose line changes mid-segment
+    (portal/y-shift/ramp) switch to it too via sph_dirty.
+
+    get_sphere(si) -> (V3 centre, r, refl, (b, g, r)) scalars."""
+
+    def run(s: SegState, mask):
+        # only called on a fresh segment state (aux_dist == -1 per lane)
+        aux_dist, aux_refl = s.aux_dist, s.aux_refl
+        zero = jnp.zeros_like(s.pos.x)
+        fire = zero + F32(_FIRE_NONE)
+        best_aux = zero + F32(_FIRE_NONE)
+        w_t0 = zero
+        new = zero > F32(1.0)
+        w_sd = zero
+        w_pos = V3(zero, zero, zero)
+        w_from = V3(zero, zero, zero)
+        w_col = (zero, zero, zero)
+        base = mask & (s.active != 0)
+        for si in range(n_spheres):
+            c, sr, srefl, scol = get_sphere(si)
+            spos = V3(c.x + zero, c.y + zero, c.z + zero)
+            # bucket AABB: [trunc(x-r), trunc(x+r)+1) etc (level.h:27-31)
+            bx1 = (c.x - sr).astype(I32).astype(F32) + zero
+            bx2 = (c.x + sr).astype(I32).astype(F32) + F32(1.0) + zero
+            bz1 = (c.z - sr).astype(I32).astype(F32) + zero
+            bz2 = (c.z + sr).astype(I32).astype(F32) + F32(1.0) + zero
+            # slab entry time along the ray (sign-ordered near faces)
+            sxp = s.ray.x >= 0.0
+            szp = s.ray.z >= 0.0
+            tx = jnp.where(sxp, bx1 - s.pos.x, s.pos.x - bx2) * s.iavel.x
+            tz = jnp.where(szp, bz1 - s.pos.z, s.pos.z - bz2) * s.iavel.z
+            t_entry = jnp.maximum(jnp.maximum(tx, tz), F32(0.0))
+            pent = s.pos + t_entry * s.ray
+            rel = spos - pent
+            dist2 = dot_sse(rel, rel)
+            dot = dot_sse(rel, s.ray)
+            calcrad2 = dist2 - dot * dot
+            rad2 = sr * sr + zero
+            safe_rad2 = jnp.maximum(rad2, F32(1e-30))
+            sph_dist = math.sqrt(dist2) - math.sqrt(jnp.maximum(
+                F32(1.0) - math.div(calcrad2, safe_rad2), F32(0.0)))
+            aux_c = sph_dist + (s.cdist + t_entry)
+            fire_c = jnp.maximum(aux_c, s.cdist + t_entry)
+            upd = (base & (dot > 0.0) & (calcrad2 < rad2)
+                   & ((fire_c < fire)
+                      | ((fire_c == fire) & (aux_c < best_aux))))
+            fire = jnp.where(upd, fire_c, fire)
+            best_aux = jnp.where(upd, aux_c, best_aux)
+            w_t0 = jnp.where(upd, s.cdist + t_entry, w_t0)
+            aux_dist = jnp.where(upd, aux_c, aux_dist)
+            aux_refl = jnp.where(upd, srefl, aux_refl)
+            new = new | upd
+            w_sd = jnp.where(upd, sph_dist, w_sd)
+            w_pos = spos.where(upd, w_pos)
+            w_from = pent.where(upd, w_from)
+            w_col = tuple(jnp.where(upd, scol[c2] + zero, w_col[c2])
+                          for c2 in range(3))
+        apos = w_from + w_sd * s.ray
+        anorm = normalise_sse(apos - w_pos, math.rsq)
+        diff = jnp.maximum(-dot_sse(s.ray, anorm), 0.0)
+        diff = F32(0.2) + F32(0.8) * diff
+        acol = C4(diff * w_col[0], diff * w_col[1], diff * w_col[2],
+                  zero)
+        return (aux_dist, aux_refl,
+                apos.where(new, s.aux_pos),
+                anorm.where(new, s.aux_norm),
+                acol.where(new, s.aux_col),
+                jnp.where(new, w_t0, s.aux_t0))
+
+    return run
+
+
+def _apply_aux(s: SegState, aux) -> SegState:
+    """aux: 5-tuple from the cell-driven pass (aux_t0 untouched) or
+    6-tuple from the hoisted pass (explicit aux_t0)."""
+    s = s._replace(aux_dist=aux[0], aux_refl=aux[1], aux_pos=aux[2],
+                   aux_norm=aux[3], aux_col=aux[4])
+    return s._replace(aux_t0=aux[5]) if len(aux) > 5 else s
 
 
 def init_segment(ifrom: V3, iray: V3, active, env: Env) -> SegState:
@@ -174,7 +294,8 @@ def init_segment(ifrom: V3, iray: V3, active, env: Env) -> SegState:
         gx=gx, gy=gy, gz=gz,
         cx=cx, cz=cz, cdist=z1, fog=z1, ldir=zi + FYN,
         active=active.astype(I32),
-        aux_dist=z1 - F32(1.0), aux_refl=z1 + F32(0.25),
+        aux_dist=z1 - F32(1.0), aux_t0=z1 - F32(1.0), sph_dirty=zi,
+        aux_refl=z1 + F32(0.25),
         aux_pos=z3, aux_norm=z3, aux_col=C4(one, one, one, one),
         tkind=zi, tldir=zi, tcolid=zi, tfog=z1, tdist=z1, tpos=z3,
         tray=ray, tstep=zi)
@@ -201,12 +322,13 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig) -> SegState:
     inb = (s.cx >= 0) & (s.cx < 64) & (s.cz >= 0) & (s.cz < 64)
     cls = f.cls
 
-    if env.sphere_pass is not None:
-        # skip the whole sphere block unless some active ray stands in a
-        # bucketed cell (tile-uniform branch on the pallas path).  The
-        # cond yields ONLY the aux fields: Mosaic materializes every
-        # yielded lane, so returning the whole SegState here costs more
-        # than the sphere math it skips.
+    if env.sphere_pass is not None and env.sphere_all is None:
+        # cell-driven bucket scan (parity path): skip the whole sphere
+        # block unless some active ray stands in a bucketed cell
+        # (tile-uniform branch on the pallas path).  The cond yields
+        # ONLY the aux fields: Mosaic materializes every yielded lane,
+        # so returning the whole SegState here costs more than the
+        # sphere math it skips.
         any_sph = jnp.max(jnp.where((s.active != 0) & inb, f.nsph, 0)) > 0
         aux = jax.lax.cond(
             any_sph,
@@ -214,8 +336,27 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig) -> SegState:
             lambda op: (op[0].aux_dist, op[0].aux_refl, op[0].aux_pos,
                         op[0].aux_norm, op[0].aux_col),
             (s, inb, f))
+        s = _apply_aux(s, aux)
+    elif env.sphere_pass is not None:
+        # fast path: hoisted candidates (run_segment) cover lanes still
+        # on their segment-start line; lanes that left it (sph_dirty)
+        # fall back to the exact cell-driven scan, gated on a dirty
+        # lane standing in a bucketed cell - rare, so the common step
+        # pays one reduction only.  Masking is by the `inb` argument,
+        # which the scan folds into its per-slot valid mask.
+        dirty = s.sph_dirty != 0
+        any_d = jnp.max(jnp.where((s.active != 0) & inb & dirty,
+                                  f.nsph, 0)) > 0
+        aux = jax.lax.cond(
+            any_d,
+            lambda op: env.sphere_pass(*op),
+            lambda op: (op[0].aux_dist, op[0].aux_refl, op[0].aux_pos,
+                        op[0].aux_norm, op[0].aux_col),
+            (s, inb & dirty, f))
+        changed = aux[0] != s.aux_dist
         s = s._replace(aux_dist=aux[0], aux_refl=aux[1], aux_pos=aux[2],
-                       aux_norm=aux[3], aux_col=aux[4])
+                       aux_norm=aux[3], aux_col=aux[4],
+                       aux_t0=jnp.where(changed, F32(-1.0), s.aux_t0))
 
     is_floorish = (cls == W.FLOOR) | (cls == W.FOG) | (cls == W.LOWER)
     is_tall = (cls == W.TALL) | (cls == W.TALLFOG)
@@ -224,6 +365,10 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig) -> SegState:
     is_wall = cls == W.WALL
     is_fogc = (cls == W.FOG) | (cls == W.TALLFOG)
     has_aux = s.aux_dist != F32(-1.0)
+    # hoisted spheres gate firing on AABB entry; the cell-driven scan
+    # registers only after entry (aux_t0 stays -1 <= aux there)
+    fire = (jnp.maximum(s.aux_dist, s.aux_t0)
+            if env.sphere_all is not None else s.aux_dist)
 
     pos, ray, wdist, iavel = s.pos, s.ray, s.wdist, s.iavel
     gx, gy, gz = s.gx, s.gy, s.gz
@@ -238,8 +383,23 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig) -> SegState:
     ray_y2 = jnp.where(is_ramp, ray.y + tilt, ray.y)
     ray2 = V3(ray.x, ray_y2, ray.z)
 
-    # ---- per-class effective wdist.y -------------------------------------
+    # ---- empty-space skip (fast mode): a lane whose cell has clearance
+    # c>0 sits in a (2c+1)^2 box of same-class, sphere-free cells, so its
+    # next X/Z crossing may be the (c+1)-th one - interior cells have no
+    # observable semantics (uniform fog rate, no transitions, no buckets).
+    # Implemented by pushing the effective X/Z crossing times out by
+    # c*iavel; the Y-plane hit check below stays as-is and fires first
+    # whenever the floor/ceiling is hit inside the box.
+    use_skip = cfg.space_skip and not cfg.parity
     wx, wy0, wz = wdist.x, wdist.y, wdist.z
+    if use_skip:
+        ck = f.clear
+        can_skip = ck > 0
+        ckf = ck.astype(F32)
+        wx = jnp.where(can_skip, wx + ckf * iavel.x, wx)
+        wz = jnp.where(can_skip, wz + ckf * iavel.z, wz)
+
+    # ---- per-class effective wdist.y -------------------------------------
     wy_tall = jnp.where(gy > 0, wy0 + iavel.y, wy0)
     ay2 = jnp.where(ray_y2 < 0.0, -ray_y2, ray_y2)
     wy_ramp = jnp.where(ray_y2 >= 0.0, F32(1.0) - pos.y, pos.y) \
@@ -247,7 +407,7 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig) -> SegState:
     wy = jnp.where(is_tall, wy_tall, jnp.where(is_ramp, wy_ramp, wy0))
 
     # ---- ramps: sphere exit BEFORE stepping (trace.h:463-468) -------------
-    pre_sph = is_ramp & has_aux & (s.cdist > s.aux_dist)
+    pre_sph = is_ramp & has_aux & (s.cdist > fire)
     s = _terminate(s, pre_sph, T_SPHERE, fog=s.fog, dist=s.aux_dist,
                    ray=ray2)
     act = s.active != 0
@@ -269,7 +429,7 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig) -> SegState:
 
     # ---- floor/tall: fog + sphere exit + Y hit (trace.h:302-392) ----------
     ft = act & (is_floorish | is_tall)
-    sph2 = ft & has_aux & (cdist2 > s.aux_dist)
+    sph2 = ft & has_aux & (cdist2 > fire)
     extra = jnp.where(is_fogc & (s.aux_dist > s.cdist),
                       s.aux_dist - s.cdist, F32(0.0))
     s = _terminate(s, sph2, T_SPHERE, fog=s.fog + extra, dist=s.aux_dist,
@@ -306,6 +466,30 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig) -> SegState:
     wny = jnp.where(stepped & is_tall & (gy > 0), wny - iavel.y, wny)
     cx2 = s.cx + jnp.where(xstep, gx, 0)
     cz2 = s.cz + jnp.where(zstep, gz, 0)
+    if use_skip:
+        # multi-cell advance on the exit axis; the transverse cell and
+        # its wdist are recomputed from the landed position (clipped to
+        # the box, so a boundary-exact landing resolves to a safe cell)
+        sk_x = can_skip & xstep
+        sk_z = can_skip & zstep
+        cx2 = jnp.where(sk_x, s.cx + gx * (ck + 1), cx2)
+        cz2 = jnp.where(sk_z, s.cz + gz * (ck + 1), cz2)
+        tz = jnp.clip(pos2.z.astype(I32), s.cz - ck, s.cz + ck)
+        tx = jnp.clip(pos2.x.astype(I32), s.cx - ck, s.cx + ck)
+        cz2 = jnp.where(sk_x, tz, cz2)
+        cx2 = jnp.where(sk_z, tx, cx2)
+        wnz = jnp.where(
+            sk_x,
+            jnp.where(ray.z >= 0.0,
+                      F32(1.0) - (pos2.z - tz.astype(F32)),
+                      pos2.z - tz.astype(F32)) * iavel.z,
+            wnz)
+        wnx = jnp.where(
+            sk_z,
+            jnp.where(ray.x >= 0.0,
+                      F32(1.0) - (pos2.x - tx.astype(F32)),
+                      pos2.x - tx.astype(F32)) * iavel.x,
+            wnx)
 
     # ramp: recompute ldir from tilted ray, untilt, recompute wdist.y
     ldir3 = jnp.where(
@@ -424,7 +608,7 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig) -> SegState:
     p_bad = act & is_portal & (pkind == 2)
     p_wrong = act & is_portal & (pkind == 3)
     for pm_mask, colid in ((p_bad, C_WALL), (p_wrong, C_MAGENTA)):
-        sphm = pm_mask & has_aux & (s.cdist > s.aux_dist)
+        sphm = pm_mask & has_aux & (s.cdist > fire)
         s = _terminate(s, sphm, T_SPHERE, fog=s.fog, dist=s.aux_dist,
                        ray=ray)
         wallm = pm_mask & (s.active != 0)
@@ -434,7 +618,7 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig) -> SegState:
 
     # ---- plain wall (trace.h:651-664) --------------------------------------
     wallm = act & is_wall
-    sphw = wallm & has_aux & (s.cdist > s.aux_dist)
+    sphw = wallm & has_aux & (s.cdist > fire)
     s = _terminate(s, sphw, T_SPHERE, fog=s.fog, dist=s.aux_dist, ray=ray)
     wallm = wallm & (s.active != 0)
     s = _terminate(s, wallm, T_WALL, ldir=s.ldir,
@@ -470,9 +654,28 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig) -> SegState:
                    gx=new_gx, gz=new_gz, cx=new_cx, cz=new_cz,
                    cdist=new_cd, fog=new_fog, ldir=new_ld)
 
+    # hoisted-sphere mode: candidates are a function of the ray LINE, so
+    # any event that moves a lane off its line - portal rotation, the
+    # '"'<->'#/&' y-shifts (tr1/tr2), or a ramp crossing (pos advanced
+    # along the tilted ray) - marks the lane dirty: from the next step
+    # on, it uses the exact cell-driven bucket scan (the reference's own
+    # semantics).  An already-ENTERED pending candidate persists exactly
+    # as the reference's aux does across such events; one whose AABB
+    # entry is still ahead was never registered by the reference and is
+    # dropped (it belonged to the abandoned line).
+    if env.sphere_all is not None:
+        ev = pgo2 | (stepped & (tr1 | tr2 | ramp_go))
+        drop = (ev & (s.aux_dist != F32(-1.0))
+                & (s.cdist < s.aux_t0))
+        s = s._replace(
+            sph_dirty=jnp.where(ev, 1, s.sph_dirty),
+            aux_dist=jnp.where(drop, F32(-1.0), s.aux_dist))
+
     # ---- end-of-iteration sphere check (trace.h:668-673) ------------------
+    fire2 = (jnp.maximum(s.aux_dist, s.aux_t0)
+             if env.sphere_all is not None else s.aux_dist)
     end_sph = ((s.active != 0) & (s.aux_dist != F32(-1.0))
-               & (s.cdist > s.aux_dist))
+               & (s.cdist > fire2))
     s = _terminate(s, end_sph, T_SPHERE, fog=s.fog, dist=s.aux_dist,
                    ray=s.ray)
     return s
@@ -600,6 +803,8 @@ def run_segment(env: Env, cfg: RenderConfig, ifrom: V3, iray: V3,
         raise ValueError(
             f"step_chunk={chunk} must divide maxsteps={cfg.maxsteps}")
     s0 = init_segment(ifrom, iray, active, env)
+    if env.sphere_all is not None:
+        s0 = _apply_aux(s0, env.sphere_all(s0, s0.active != 0))
     n_act0 = jnp.sum(active.astype(I32))
 
     def cond(carry):

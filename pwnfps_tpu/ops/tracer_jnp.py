@@ -18,7 +18,7 @@ from ..core.ieee import div_rn, sqrt_rn
 from . import worlddev as W
 from .tracer_core import (CellFields, Env, Math, SegState,  # noqa: F401
                           col_ftoint, decode_portal_word, decode_word,
-                          trace_wave_env)
+                          make_sphere_all, trace_wave_env)
 from .vec import C4, V3, dot_sse, normalise_sse
 
 F32 = jnp.float32
@@ -103,11 +103,27 @@ def make_env(world: W.WorldDev, meta: W.WorldMeta,
         w = jnp.take(world.word, cell_idx, mode="clip")
         return decode_portal_word(w)
 
+    # cell-driven bucket scan: every lane in parity mode, dirty lanes
+    # (post portal/y-shift/ramp) in fast mode
     sphere_pass = (_sphere_pass(world, meta, math)
                    if meta.k_bucket > 0 else None)
+    if cfg.parity:
+        sphere_all = None
+    else:
+        # fast: hoist sphere candidates out of the DDA loop (see
+        # tracer_core.make_sphere_all for the equivalence argument)
+        def get_sphere(si):
+            return (V3(world.sph_pos[si, 0], world.sph_pos[si, 1],
+                       world.sph_pos[si, 2]),
+                    world.sph_r[si], world.sph_refl[si],
+                    tuple(world.sph_col[si, c] for c in range(3)))
+
+        sphere_all = (make_sphere_all(meta.n_spheres, get_sphere, math)
+                      if meta.n_spheres > 0 else None)
     return Env(math=math, fetch=fetch, fetch_portal=fetch_portal,
                sphere_pass=sphere_pass,
-               randfs=lambda s: lcg.randfs(s, jnp))
+               randfs=lambda s: lcg.randfs(s, jnp),
+               sphere_all=sphere_all)
 
 
 def trace_wave(world: W.WorldDev, meta: W.WorldMeta, cfg: RenderConfig,

@@ -40,8 +40,8 @@ from ..core.config import RenderConfig
 from ..core.ieee import div_rn, sqrt_rn
 from . import worlddev as W
 from .tracer_core import (CellFields, Env, Math, SegState,
-                          decode_portal_word, trace_wave_env,
-                          xcls_compress)
+                          decode_portal_word, make_sphere_all,
+                          trace_wave_env, xcls_compress)
 from .vec import C4, V3, dot_sse, normalise_sse
 
 F32 = jnp.float32
@@ -76,7 +76,7 @@ def _wchunks(lh: int) -> int:
 
 
 def _cchunks(lh: int) -> int:
-    return lh // 8          # 64*lh cells / 4 per i32 / 128 lanes
+    return lh // 4          # 64*lh cells / 2 per i32 / 128 lanes
 
 
 def build_tables(world: W.WorldDev, meta: W.WorldMeta,
@@ -94,13 +94,16 @@ def build_tables(world: W.WorldDev, meta: W.WorldMeta,
         return jnp.repeat(flat[:ncell].reshape(_wchunks(meta.lh), 128),
                           ROWS, axis=0)
 
-    # compact common-path byte: cls(4) | xcls2(2) | has_sph(1)
+    # compact common-path entry (16 bits, 2 cells per int32):
+    # cls(4) | xcls2(2) | has_sph(1) | clear(4)
     w = world.word[:ncell]
-    cbyte = (W.w_cls(w) | (xcls_compress(W.w_xcls(w)) << 4)
-             | (jnp.where(W.w_nsph(w) > 0, 1, 0) << 6))
-    cb = cbyte.reshape(ncell // 4, 4)
-    cword = (cb[:, 0] | (cb[:, 1] << 8) | (cb[:, 2] << 16)
-             | (cb[:, 3] << 24))
+    cls = W.w_cls(w)
+    clear = jnp.where(cls == W.PORTAL, 0, W.w_clear(w))
+    cent = (cls | (xcls_compress(W.w_xcls(w)) << 4)
+            | (jnp.where(W.w_nsph(w) > 0, 1, 0) << 6)
+            | (clear << 7))
+    cb = cent.reshape(ncell // 2, 2)
+    cword = cb[:, 0] | (cb[:, 1] << 16)
     cword_b = jnp.repeat(cword.reshape(_cchunks(meta.lh), 128), ROWS,
                          axis=0)
 
@@ -142,15 +145,16 @@ def _chunked_gather(tab_ref, idx, rows, chunks=32):
 
 
 def _compact_fetch(cword_ref, cx, cz, rows, chunks) -> CellFields:
-    """Common-path fields from the 4-cells-per-int32 table: one chunked
-    gather + byte extract.  Cells beyond the table (grid rows >= meta.lh)
-    miss every chunk and read 0 == the pad cells' compact byte."""
+    """Common-path fields from the 2-cells-per-int32 table: one chunked
+    gather + halfword extract.  Cells beyond the table (grid rows >=
+    meta.lh) miss every chunk and read 0 == the pad cells' entry."""
     inb = (cx >= 0) & (cx < 64) & (cz >= 0) & (cz < 64)
     idx = jnp.where(inb, cz * 64 + cx, 0)
-    word = _chunked_gather(cword_ref, idx >> 2, rows, chunks=chunks)
-    byte = (word >> ((idx & 3) * 8)) & 0x7F
-    return CellFields(cls=byte & 0xF, xcls2=(byte >> 4) & 3,
-                      nsph=(byte >> 6) & 1, cell_idx=idx)
+    word = _chunked_gather(cword_ref, idx >> 1, rows, chunks=chunks)
+    ent = (word >> ((idx & 1) * 16)) & 0x7FF
+    return CellFields(cls=ent & 0xF, xcls2=(ent >> 4) & 3,
+                      nsph=(ent >> 6) & 1, cell_idx=idx,
+                      clear=(ent >> 7) & 0xF)
 
 
 def _randfs_i32(s):
@@ -280,11 +284,24 @@ def _kernel(cfg: RenderConfig, n_spheres: int, lh: int,
 
     math = _parity_math(rsqrt_ref, rcp_ref, rows) if cfg.parity \
         else _fast_math()
+    # cell-driven bucket scan: every lane in parity mode, dirty lanes
+    # (post portal/y-shift/ramp) in fast mode
     sphere_pass = (_sphere_pass_pallas(mask_ref, sph_ref, n_spheres,
                                        math, rows, _wchunks(lh))
                    if n_spheres > 0 else None)
+    if cfg.parity:
+        sphere_all = None
+    else:
+        def get_sphere(si):
+            return (V3(sph_ref[si, 0], sph_ref[si, 1], sph_ref[si, 2]),
+                    sph_ref[si, 3], sph_ref[si, 4],
+                    tuple(sph_ref[si, 5 + c] for c in range(3)))
+
+        sphere_all = (make_sphere_all(n_spheres, get_sphere, math)
+                      if n_spheres > 0 else None)
     env = Env(math=math, fetch=fetch, fetch_portal=fetch_portal,
-              sphere_pass=sphere_pass, randfs=_randfs_i32)
+              sphere_pass=sphere_pass, randfs=_randfs_i32,
+              sphere_all=sphere_all)
 
     ifrom = V3(fx[:], fy[:], fz[:])
     iray = V3(rx[:], ry[:], rz[:])

@@ -9,9 +9,19 @@ int32 word so a step costs a single gather:
   bits  4..5   pkind  0 plain / 1 portal endpoint / 2 incomplete / 3 wrong
   bits  6..7   prot   portal quarter-turns to apply
   bits  8..11  xcls   behind-cell class for the 2-high wall check
-  bits 12..18  pdcx   portal cell delta x, biased +64
-  bits 19..25  pdcz   portal cell delta z, biased +64
+  bits 12..18  pdcx   portal cells: cell delta x, biased +64;
+               12..15 non-portal cells: empty-space clearance (see below)
+  bits 19..25  pdcz   portal cells: cell delta z, biased +64
   bits 26..29  nsph   per-cell sphere-bucket count (rebuilt per frame)
+
+Clearance (fast-mode empty-space skip): for a cell of class c in
+{FLOOR, FOG, LOWER, TALL, TALLFOG}, the largest k <= 15 such that every
+cell within Chebyshev distance k has the same class and no sphere
+buckets this frame.  A ray standing in such a cell may take one DDA
+step that crosses k+1 cell boundaries on its exit axis - all skipped
+interior cells are class-uniform and sphere-free, so no per-cell
+semantics (transitions, fog rate changes, bucket tests) are lost.  The
+reference walks these runs one cell at a time (trace.h:247-250).
 
 Classes here refine world.cells with per-ramp-direction ids (the tilt
 coefficient is derived from the class in-kernel):
@@ -102,13 +112,71 @@ def pack_static_word(level: LevelData) -> np.ndarray:
                 elif pm.x2 == x and pm.z2 == z:
                     xc = pm.c1
             xcls[z, x] = refined_class(int(xc))
+    # the biased portal deltas are written only on portal cells so that
+    # bits 12..15 of plain cells stay free for the clearance channel
+    is_portal = cls == PORTAL
     word = (cls
             | (ch["pkind"] << 4)
             | (ch["prot"] << 6)
             | (xcls << 8)
-            | ((ch["pdcx"] + 64) << 12)
-            | ((ch["pdcz"] + 64) << 19)).astype(np.int32)
+            | np.where(is_portal, (ch["pdcx"] + 64) << 12, 0)
+            | np.where(is_portal, (ch["pdcz"] + 64) << 19, 0)
+            ).astype(np.int32)
     return word.reshape(-1)
+
+
+_ELIG = (FLOOR, FOG, LOWER, TALL, TALLFOG)
+CLEAR_MAX = 15
+
+
+def _cheb_dt(blocked: np.ndarray) -> np.ndarray:
+    """Chebyshev distance to the nearest blocked cell (cells beyond the
+    64x64 grid count as blocked, preserving the OOB-clamp semantics)."""
+    d = np.where(blocked, 0, np.int32(CLEAR_MAX + 2))
+    for _ in range(CLEAR_MAX + 1):
+        p = np.pad(d, 1, constant_values=0)
+        m = d
+        for dz in range(3):
+            for dx in range(3):
+                m = np.minimum(m, p[dz:dz + 64, dx:dx + 64] + 1)
+        nd = np.where(blocked, 0, np.minimum(d, m))
+        if np.array_equal(nd, d):
+            break
+        d = nd
+    return d
+
+
+def clearance_static(static_word: np.ndarray) -> np.ndarray:
+    """[64,64] per-cell clearance ignoring spheres (level geometry only)."""
+    cls = (static_word.reshape(64, 64) & 0xF).astype(np.int32)
+    clear = np.zeros((64, 64), np.int32)
+    for c in _ELIG:
+        same = cls == c
+        if not same.any():
+            continue
+        d = _cheb_dt(~same)
+        clear = np.where(same, d - 1, clear)
+    return np.clip(clear, 0, CLEAR_MAX)
+
+
+# memo: the static clearance is a pure function of the packed word and
+# build_world runs per frame (counts change, geometry doesn't).  Sphere
+# buckets need NOT block skips: the fast path hoists sphere candidates
+# out of the DDA loop (tracer_core.make_sphere_all), so no per-cell
+# sphere semantics exist to skip over, and parity mode never skips.
+_CLEAR_CACHE: dict[bytes, np.ndarray] = {}
+
+
+def _clearance_frame(static_word: np.ndarray,
+                     counts: np.ndarray) -> np.ndarray:
+    key = static_word.tobytes()
+    base = _CLEAR_CACHE.get(key)
+    if base is None:
+        base = clearance_static(static_word)
+        _CLEAR_CACHE[key] = base
+        if len(_CLEAR_CACHE) > 64:
+            _CLEAR_CACHE.pop(next(iter(_CLEAR_CACHE)))
+    return base
 
 
 def build_world(level: LevelData, spheres: SphereSet, tables: SseTables,
@@ -118,7 +186,8 @@ def build_world(level: LevelData, spheres: SphereSet, tables: SseTables,
         static_word = pack_static_word(level)
     counts = spheres.counts.reshape(-1).astype(np.int32)
     k_needed = int(counts.max()) if counts.size else 0
-    word = (static_word | (counts << 26)).astype(np.int32)
+    clear = _clearance_frame(static_word, counts).reshape(-1)
+    word = (static_word | (counts << 26) | (clear << 12)).astype(np.int32)
     n = int(np.count_nonzero(spheres.r))
     # number of live spheres: rely on r>0 for set entries; fall back to
     # max bucket index + 1 so zero-radius spheres still count
@@ -172,3 +241,9 @@ def w_pdcz(w):
 
 def w_nsph(w):
     return (w >> 26) & 0xF
+
+
+def w_clear(w):
+    """Clearance channel; valid only on non-portal cells (portal cells
+    keep their biased pdcx in these bits — callers gate on cls)."""
+    return (w >> 12) & 0xF

@@ -70,6 +70,59 @@ def gen_rays(rayb, rdx, rdy, width: int, height: int, parity: bool) -> V3:
     return V3(comp(0), comp(1), comp(2))
 
 
+def _block_shape(cfg: RenderConfig):
+    """Pixel-rectangle shape of one Mosaic tile (rows x 128 lanes)."""
+    from ..ops.tracer_pallas import PARITY_TILE, TILE
+    return ((PARITY_TILE if cfg.parity else TILE) // 128, 128)
+
+
+def _tile_rays(a, h, w, bh, bw, fill):
+    """[h*w] row-major -> block-major over (bh x bw) pixel rectangles.
+
+    Each Mosaic tile then traces a compact screen rectangle instead of
+    4+ full image rows: the tile-uniform sphere/portal conds fire only
+    in tiles whose rectangle actually sees those cells, and the per-tile
+    early exit tracks the LOCAL step count, not the frame-global max."""
+    hp = -(-h // bh) * bh
+    wp = -(-w // bw) * bw
+    a2 = jnp.pad(a.reshape(h, w), ((0, hp - h), (0, wp - w)),
+                 constant_values=fill)
+    return (a2.reshape(hp // bh, bh, wp // bw, bw)
+            .transpose(0, 2, 1, 3).reshape(-1))
+
+
+def _untile(a, h, w, bh, bw):
+    hp = -(-h // bh) * bh
+    wp = -(-w // bw) * bw
+    return (a.reshape(hp // bh, wp // bw, bh, bw)
+            .transpose(0, 2, 1, 3).reshape(hp, wp)[:h, :w])
+
+
+def _trace_cols(world, meta, cfg, ifrom, rays, seeds, sec, h, w):
+    """Backend dispatch; returns (col4 of [h,w] f32 planes, [h,w] zbuf)."""
+    from ..ops.vec import C4
+    if cfg.backend == "pallas":
+        from ..ops.tracer_pallas import trace_wave_pallas
+        bh, bw = _block_shape(cfg)
+        # pad rays sit at (1,.5,1) - inside a wall cell, dead in 1 step
+        t = lambda a, fill: _tile_rays(a, h, w, bh, bw, fill)
+        ifrom_t = V3(t(ifrom.x, 1.0), t(ifrom.y, 0.5), t(ifrom.z, 1.0))
+        rays_t = V3(t(rays.x, 0.5), t(rays.y, -0.5), t(rays.z, 0.5))
+        col4, dist = trace_wave_pallas(world, meta, cfg, ifrom_t, rays_t,
+                                       t(seeds, 1), sec)
+        return (C4(*(_untile(c, h, w, bh, bw) for c in col4)),
+                _untile(dist, h, w, bh, bw))
+    col4, dist = trace_wave(world, meta, cfg, ifrom, rays, seeds, sec)
+    return (C4(*(c.reshape(h, w) for c in col4)), dist.reshape(h, w))
+
+
+def _trace(world, meta, cfg, ifrom, rays, seeds, sec, h, w):
+    """Backend dispatch; returns ([h,w] uint32 fb pre-blur, [h,w] zbuf)."""
+    col4, dist = _trace_cols(world, meta, cfg, ifrom, rays, seeds, sec,
+                             h, w)
+    return col_ftoint(col4), dist
+
+
 @partial(jax.jit, static_argnames=("meta", "cfg"))
 def render_frame(world: W.WorldDev, meta: W.WorldMeta, cfg: RenderConfig,
                  origin, rayb, rdx, rdy, sec):
@@ -83,14 +136,7 @@ def render_frame(world: W.WorldDev, meta: W.WorldMeta, cfg: RenderConfig,
     ifrom = V3(jnp.broadcast_to(origin[0], (n,)),
                jnp.broadcast_to(origin[1], (n,)),
                jnp.broadcast_to(origin[2], (n,)))
-    if cfg.backend == "pallas":
-        from ..ops.tracer_pallas import trace_wave_pallas
-        col4, dist = trace_wave_pallas(world, meta, cfg, ifrom, rays,
-                                       seeds, sec)
-    else:
-        col4, dist = trace_wave(world, meta, cfg, ifrom, rays, seeds, sec)
-    fb = col_ftoint(col4).reshape(h, w)
-    zbuf = dist.reshape(h, w)
+    fb, zbuf = _trace(world, meta, cfg, ifrom, rays, seeds, sec, h, w)
     if cfg.postproc_blur:
         fb = _blur(cfg, fb, zbuf)
     return fb, zbuf
@@ -121,22 +167,17 @@ def render_accumulated(world: W.WorldDev, meta: W.WorldMeta,
     for k in range(samples):
         # decorrelate via a Weyl increment on the seed stream
         seeds = base_seed + jnp.uint32(k) * jnp.uint32(0x9E3779B9)
-        if cfg.backend == "pallas":
-            from ..ops.tracer_pallas import trace_wave_pallas
-            col4, dist = trace_wave_pallas(world, meta, cfg, ifrom, rays,
-                                           seeds, sec)
-        else:
-            col4, dist = trace_wave(world, meta, cfg, ifrom, rays, seeds,
-                                    sec)
+        col4, dist = _trace_cols(world, meta, cfg, ifrom, rays, seeds,
+                                 sec, h, w)
         if k == 0:
-            zbuf0 = dist.reshape(h, w)
+            zbuf0 = dist
             acc = list(col4)
         else:
             acc = [a + c for a, c in zip(acc, col4)]
     inv = jnp.float32(1.0 / samples)
     from ..ops.vec import C4
     mean = C4(*(a * inv for a in acc))
-    fb = col_ftoint(mean).reshape(h, w)
+    fb = col_ftoint(mean)
     if cfg.postproc_blur:
         fb = _blur(cfg, fb, zbuf0)
     return fb, zbuf0
