@@ -123,39 +123,42 @@ def bench_parity():
     lv = load_level("/root/reference/level.txt")
     sph, sph8 = make_spheres()
     world, meta = _setup(lv, (9.5, 0.3, 5.5))
-    cfg = RenderConfig(width=320, height=240, parity=True)
     res = {}
-    for pinned in (True, False):
-        agree, zagree, maxd = [], [], 0
-        for k in range(3):
-            cam = mat4_identity()
-            sx, sz = lv.spawn
-            cam[3, :3] = (sx + 0.5, 0.5, sz + 0.5)
-            mat4_roty(cam, 0.8 * k)
-            sec = 0.4 * k
-            o, rb, rx, ry = camera_vectors(cam, 320, 240)
-            fb, zb = render_frame(world, meta, cfg, jnp.asarray(o),
-                                  jnp.asarray(rb), jnp.asarray(rx),
-                                  jnp.asarray(ry), np.float32(sec))
-            fb = np.ascontiguousarray(np.asarray(fb))
-            zb = np.asarray(zb)
-            gold, goldz = oracle.render_frames(
-                "/root/reference/level.txt",
-                [dict(sec=sec, cam=cam, spheres=sph8)], 320, 240,
-                pinned=pinned)
-            agree.append(float((fb == gold[0]).mean()))
-            zagree.append(float(
-                (zb.view(np.uint32)
-                 == np.ascontiguousarray(goldz[0]).view(np.uint32))
-                .mean()))
-            a8 = fb.view(np.uint8).astype(np.int16)
-            b8 = np.ascontiguousarray(gold[0]).view(np.uint8) \
-                .astype(np.int16)
-            maxd = max(maxd, int(np.abs(a8 - b8).max()))
-        key = "vs_pinned_reference" if pinned else "vs_stock_reference"
-        res[key] = {"pixel_agreement": float(np.mean(agree)),
-                    "zbuf_bit_agreement": float(np.mean(zagree)),
-                    "max_channel_delta": maxd}
+    for backend in ("jnp", "pallas"):
+        cfg = RenderConfig(width=320, height=240, parity=True,
+                           backend=backend)
+        for pinned in (True, False):
+            agree, zagree, maxd = [], [], 0
+            for k in range(3):
+                cam = mat4_identity()
+                sx, sz = lv.spawn
+                cam[3, :3] = (sx + 0.5, 0.5, sz + 0.5)
+                mat4_roty(cam, 0.8 * k)
+                sec = 0.4 * k
+                o, rb, rx, ry = camera_vectors(cam, 320, 240)
+                fb, zb = render_frame(world, meta, cfg, jnp.asarray(o),
+                                      jnp.asarray(rb), jnp.asarray(rx),
+                                      jnp.asarray(ry), np.float32(sec))
+                fb = np.ascontiguousarray(np.asarray(fb))
+                zb = np.asarray(zb)
+                gold, goldz = oracle.render_frames(
+                    "/root/reference/level.txt",
+                    [dict(sec=sec, cam=cam, spheres=sph8)], 320, 240,
+                    pinned=pinned)
+                agree.append(float((fb == gold[0]).mean()))
+                zagree.append(float(
+                    (zb.view(np.uint32)
+                     == np.ascontiguousarray(goldz[0]).view(np.uint32))
+                    .mean()))
+                a8 = fb.view(np.uint8).astype(np.int16)
+                b8 = np.ascontiguousarray(gold[0]).view(np.uint8) \
+                    .astype(np.int16)
+                maxd = max(maxd, int(np.abs(a8 - b8).max()))
+            key = "%s_vs_%s_reference" % (
+                backend, "pinned" if pinned else "stock")
+            res[key] = {"pixel_agreement": float(np.mean(agree)),
+                        "zbuf_bit_agreement": float(np.mean(zagree)),
+                        "max_channel_delta": maxd}
     return res
 
 

@@ -76,6 +76,9 @@ class RenderConfig:
     # float bit patterns differ from single-cell stepping, so it is
     # ignored when parity=True.
     space_skip: bool = True
+    # record the per-ray DDA step count at termination (SegOut.tstep).
+    # Telemetry only; costs two vector ops per step, so off by default.
+    profile: bool = False
     # two-tier stepping: when every active ray in a tile is in a plain
     # floor/tall/wall cell with no pending sphere hit, run the lean
     # common-case body (~1/3 the ops) instead of the full one.  Within

@@ -79,6 +79,10 @@ def _blur_kernel(h, w, hp, wp, fstr, zb_ref, tab_ref, g0, g1, g2, g3, g4,
         # joint (row, lane-chunk) key; 32 > any chunk count we see
         keys.append(tyi * np.int32(32) + _srl(txi, 7))
         los.append(txi & np.int32(127))
+    # tap row band of the block: taps reach +-fstr*(z-1) rows (a few,
+    # typically), so most of the 5 halo groups can skip whole chunks
+    rmin = jnp.min(jnp.stack([_srl(k, 5).min() for k in keys]))
+    rmax = jnp.max(jnp.stack([_srl(k, 5).max() for k in keys]))
 
     grps = (g0, g1, g2, g3, g4)
     gbase = [jnp.clip(pid - 2 + g, 0, nblk - 1) * np.int32(BR)
@@ -88,19 +92,30 @@ def _blur_kernel(h, w, hp, wp, fstr, zb_ref, tab_ref, g0, g1, g2, g3, g4,
         key_t = [k[:, sl] for k in keys]
         lo_t = [lo[:, sl] for lo in los]
         acc = [jnp.zeros((BR, 128), I32) for _ in range(4)]
-        for gc in (c - 1, c, c + 1):
-            if not 0 <= gc < nc:
-                continue
-            csl = slice(gc * 128, (gc + 1) * 128)
-            for g in range(5):
-                reg = grps[g][:, csl]
-                for r8 in range(BR):
-                    ch8 = jnp.broadcast_to(reg[r8:r8 + 1, :], (BR, 128))
-                    key = (gbase[g] + np.int32(r8)) * np.int32(32) \
-                        + np.int32(gc)
-                    for t in range(4):
-                        cand = jnp.take_along_axis(ch8, lo_t[t], axis=1)
-                        acc[t] = jnp.where(key_t[t] == key, cand, acc[t])
+        for g in range(5):
+
+            def scan_group(acc, g=g):
+                acc = list(acc)
+                for gc in (c - 1, c, c + 1):
+                    if not 0 <= gc < nc:
+                        continue
+                    csl = slice(gc * 128, (gc + 1) * 128)
+                    reg = grps[g][:, csl]
+                    for r8 in range(BR):
+                        ch8 = jnp.broadcast_to(reg[r8:r8 + 1, :],
+                                               (BR, 128))
+                        key = (gbase[g] + np.int32(r8)) * np.int32(32) \
+                            + np.int32(gc)
+                        for t in range(4):
+                            cand = jnp.take_along_axis(ch8, lo_t[t],
+                                                       axis=1)
+                            acc[t] = jnp.where(key_t[t] == key, cand,
+                                               acc[t])
+                return tuple(acc)
+
+            overlap = (gbase[g] <= rmax) & (gbase[g] + (BR - 1) >= rmin)
+            acc = list(jax.lax.cond(overlap, scan_group,
+                                    lambda a: tuple(a), tuple(acc)))
         t0, t1, t2, t3 = acc
         out_ref[:, sl] = _avg_i32(_avg_i32(t0, t1), _avg_i32(t2, t3))
 

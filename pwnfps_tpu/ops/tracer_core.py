@@ -76,12 +76,14 @@ class Env(NamedTuple):
     fetch_portal: Any  # fn(cell_idx) -> (pkind, prot, pdcx, pdcz)
     sphere_pass: Any   # fn(state, inb, fields) -> aux 5-tuple (or None)
     randfs: Any        # fn(seed) -> (seed, f32 value)
-    # fast mode only: fn(state, mask) -> aux 5-tuple testing EVERY
-    # sphere against the lane's current ray line (no bucket gating).
-    # When set, sphere_pass must be None: candidates are hoisted out of
-    # the DDA loop at segment start and re-derived after portal
-    # rotations (see hoist_spheres for the equivalence argument).
+    # fast mode only: fn(state, mask) -> aux 6-tuple testing EVERY
+    # sphere against the lane's current ray line (no bucket gating),
+    # hoisted out of the DDA loop at segment start (make_sphere_all).
     sphere_all: Any = None
+    # static: may the empty-space skip engage?  False when the level's
+    # clearance field is all-zero (tight maze), stripping the skip ops
+    # from the step body at trace time.
+    skip_ok: bool = True
 
 
 def xcls_compress(xcls):
@@ -158,7 +160,8 @@ def _sel_fields(m, a: CellFields, b: CellFields) -> CellFields:
 _FIRE_NONE = 3.0e38     # aux_fire sentinel while no candidate is pending
 
 
-def make_sphere_all(n_spheres: int, get_sphere, math: Math):
+def make_sphere_all(n_spheres: int, get_sphere, math: Math,
+                    get_bound=None):
     """Line-vs-all-spheres candidate pass for the fast path.
 
     The reference registers a sphere candidate at the first DDA step
@@ -183,9 +186,12 @@ def make_sphere_all(n_spheres: int, get_sphere, math: Math):
     keeps the exact scan, and lanes whose line changes mid-segment
     (portal/y-shift/ramp) switch to it too via sph_dirty.
 
-    get_sphere(si) -> (V3 centre, r, refl, (b, g, r)) scalars."""
+    get_sphere(si) -> (V3 centre, r, refl, (b, g, r)) scalars;
+    get_bound() -> (V3 centre, radius) of a sphere bounding ALL scene
+    spheres: tiles whose lanes' lines all miss it skip the full pass
+    (one cheap per-lane test + one reduction per segment)."""
 
-    def run(s: SegState, mask):
+    def run_full(s: SegState, mask):
         # only called on a fresh segment state (aux_dist == -1 per lane)
         aux_dist, aux_refl = s.aux_dist, s.aux_refl
         zero = jnp.zeros_like(s.pos.x)
@@ -249,15 +255,48 @@ def make_sphere_all(n_spheres: int, get_sphere, math: Math):
                 acol.where(new, s.aux_col),
                 jnp.where(new, w_t0, s.aux_t0))
 
+    if get_bound is None:
+        def run_nobound(s: SegState, mask):
+            one = jnp.ones_like(s.sph_dirty)
+            return run_full(s, mask) + (one * 2,)
+        return run_nobound
+
+    def run(s: SegState, mask):
+        bc, br = get_bound()
+        zero = jnp.zeros_like(s.pos.x)
+        # XZ-PROJECTED line vs bounding circle: a superset of any 3D
+        # line-sphere hit (projection shrinks distances), and invariant
+        # under the y-shift/ramp line changes.  Doubles as (a) the
+        # whole-tile hoist-skip gate and (b) the per-lane relevance bit
+        # (sph_dirty bit 1): lanes with it clear can never register a
+        # sphere after a shift/ramp, so those events need not dirty
+        # them (segment_body).
+        rx = bc.x + zero - s.pos.x
+        rz = bc.z + zero - s.pos.z
+        d2 = rx * rx + rz * rz
+        dt = rx * s.ray.x + rz * s.ray.z
+        l2 = s.ray.x * s.ray.x + s.ray.z * s.ray.z
+        quick = (d2 - br * br) * l2 < dt * dt
+        rel_bit = jnp.where(quick, 2, 0).astype(s.sph_dirty.dtype)
+        anyq = jnp.max(jnp.where(mask & (s.active != 0) & quick,
+                                 1, 0)) > 0
+        return jax.lax.cond(
+            anyq, lambda op: run_full(*op),
+            lambda op: (op[0].aux_dist, op[0].aux_refl, op[0].aux_pos,
+                        op[0].aux_norm, op[0].aux_col, op[0].aux_t0),
+            (s, mask)) + (rel_bit,)
+
     return run
 
 
 def _apply_aux(s: SegState, aux) -> SegState:
-    """aux: 5-tuple from the cell-driven pass (aux_t0 untouched) or
-    6-tuple from the hoisted pass (explicit aux_t0)."""
+    """aux: 5-tuple from the cell-driven pass (aux_t0/sph_dirty kept) or
+    7-tuple from the hoisted pass (aux_t0 + the relevance bit)."""
     s = s._replace(aux_dist=aux[0], aux_refl=aux[1], aux_pos=aux[2],
                    aux_norm=aux[3], aux_col=aux[4])
-    return s._replace(aux_t0=aux[5]) if len(aux) > 5 else s
+    if len(aux) > 5:
+        s = s._replace(aux_t0=aux[5], sph_dirty=aux[6])
+    return s
 
 
 def init_segment(ifrom: V3, iray: V3, active, env: Env) -> SegState:
@@ -316,8 +355,35 @@ def _terminate(s: SegState, mask, kind, ldir=None, colid=None, fog=None,
         active=jnp.where(m, 0, s.active))
 
 
-def segment_body(s: SegState, env: Env, cfg: RenderConfig) -> SegState:
-    """One DDA step for every active ray (trace.h:250-675)."""
+def compute_flags(s: SegState, env: Env) -> jnp.ndarray:
+    """Packed tile-uniform gates: bit0 any-active (the while cond),
+    bit1 sphere-scan trigger, bit2 portal trigger.  Evaluated on the
+    post-step state, so the next step's branches need no reductions.
+
+    NB a plain max over the packed lanes is NOT a bitwise or (a portal
+    lane's 5 would shadow a sphere lane's 3), so this reduces twice:
+    max(v & 3) is exact for bits 0-1 (the sphere trigger implies
+    active, so v & 3 is in {0,1,3}), and max(v) >= 4 is exact for
+    bit 2."""
+    act = s.active != 0
+    f = s.fields
+    v = jnp.where(act, 1, 0)
+    if env.sphere_pass is not None:
+        inb = (s.cx >= 0) & (s.cx < 64) & (s.cz >= 0) & (s.cz < 64)
+        trig = act & inb & (f.nsph > 0)
+        if env.sphere_all is not None:
+            trig = trig & ((s.sph_dirty & 1) != 0)
+        v = v | jnp.where(trig, 2, 0)
+    v = v | jnp.where(act & (f.cls == W.PORTAL), 4, 0)
+    return jnp.max(v & 3) | jnp.where(jnp.max(v) >= 4, 4, 0)
+
+
+def segment_body(s: SegState, env: Env, cfg: RenderConfig,
+                 flags) -> SegState:
+    """One DDA step for every active ray (trace.h:250-675).
+
+    `flags` is compute_flags of the incoming state: the tile-uniform
+    branch predicates, prepacked so the body issues no reductions."""
     f = s.fields          # fetched when the ray last moved (one gather/step)
     inb = (s.cx >= 0) & (s.cx < 64) & (s.cz >= 0) & (s.cz < 64)
     cls = f.cls
@@ -329,9 +395,8 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig) -> SegState:
         # ONLY the aux fields: Mosaic materializes every yielded lane,
         # so returning the whole SegState here costs more than the
         # sphere math it skips.
-        any_sph = jnp.max(jnp.where((s.active != 0) & inb, f.nsph, 0)) > 0
         aux = jax.lax.cond(
-            any_sph,
+            (flags & 2) > 0,
             lambda op: env.sphere_pass(*op),
             lambda op: (op[0].aux_dist, op[0].aux_refl, op[0].aux_pos,
                         op[0].aux_norm, op[0].aux_col),
@@ -344,11 +409,9 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig) -> SegState:
         # lane standing in a bucketed cell - rare, so the common step
         # pays one reduction only.  Masking is by the `inb` argument,
         # which the scan folds into its per-slot valid mask.
-        dirty = s.sph_dirty != 0
-        any_d = jnp.max(jnp.where((s.active != 0) & inb & dirty,
-                                  f.nsph, 0)) > 0
+        dirty = (s.sph_dirty & 1) != 0
         aux = jax.lax.cond(
-            any_d,
+            (flags & 2) > 0,
             lambda op: env.sphere_pass(*op),
             lambda op: (op[0].aux_dist, op[0].aux_refl, op[0].aux_pos,
                         op[0].aux_norm, op[0].aux_col),
@@ -390,7 +453,7 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig) -> SegState:
     # Implemented by pushing the effective X/Z crossing times out by
     # c*iavel; the Y-plane hit check below stays as-is and fires first
     # whenever the floor/ceiling is hit inside the box.
-    use_skip = cfg.space_skip and not cfg.parity
+    use_skip = cfg.space_skip and not cfg.parity and env.skip_ok
     wx, wy0, wz = wdist.x, wdist.y, wdist.z
     if use_skip:
         ck = f.clear
@@ -406,11 +469,16 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig) -> SegState:
         * env.math.div(jnp.ones_like(ay2), ay2)
     wy = jnp.where(is_tall, wy_tall, jnp.where(is_ramp, wy_ramp, wy0))
 
+    # Terminations are RECORDED as masks while the step proceeds (the
+    # active set `a` shrinks in the reference's exact priority order)
+    # and written once at the end: one select tree per output field
+    # instead of one per termination site - ~half the select ops, same
+    # values, bit-identical results.
+
     # ---- ramps: sphere exit BEFORE stepping (trace.h:463-468) -------------
-    pre_sph = is_ramp & has_aux & (s.cdist > fire)
-    s = _terminate(s, pre_sph, T_SPHERE, fog=s.fog, dist=s.aux_dist,
-                   ray=ray2)
-    act = s.active != 0
+    a = s.active != 0
+    m_presph = a & is_ramp & has_aux & (s.cdist > fire)
+    a = a & ~m_presph
 
     # ---- through: min-axis crossing (trace.h:156-184) ----------------------
     ymin = (wy < wx) & (wy < wz)
@@ -422,39 +490,31 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig) -> SegState:
         ymin, jnp.where(gy < 0, FYN, FYP),
         jnp.where(xmin, jnp.where(gsel < 0, FXN, FXP),
                   jnp.where(gz < 0, FZN, FZP)))
-    goes = act & (is_floorish | is_tall | is_ramp)
+    goes = a & (is_floorish | is_tall | is_ramp)
     cdist2 = jnp.where(goes, s.cdist + t, s.cdist)
     pos2 = (pos + t * ray2).where(goes, pos)
     ldir2 = jnp.where(goes, ldir_t, s.ldir)
 
     # ---- floor/tall: fog + sphere exit + Y hit (trace.h:302-392) ----------
-    ft = act & (is_floorish | is_tall)
-    sph2 = ft & has_aux & (cdist2 > fire)
+    ft = a & (is_floorish | is_tall)
+    m_sph2 = ft & has_aux & (cdist2 > fire)
     extra = jnp.where(is_fogc & (s.aux_dist > s.cdist),
                       s.aux_dist - s.cdist, F32(0.0))
-    s = _terminate(s, sph2, T_SPHERE, fog=s.fog + extra, dist=s.aux_dist,
-                   ray=ray)
-    act = s.active != 0
-    ft = act & (is_floorish | is_tall)
+    a = a & ~m_sph2
+    ft = a & (is_floorish | is_tall)
     fog2 = jnp.where(ft & is_fogc, s.fog + (cdist2 - s.cdist), s.fog)
 
-    y_hit = ft & ((ldir2 == FYN) | (ldir2 == FYP))
-    s = _terminate(s, y_hit, T_WALL, ldir=ldir2,
-                   colid=jnp.where(gy > 0, C_CEIL, C_FLOOR),
-                   fog=fog2, dist=cdist2, pos=pos2, ray=ray)
-    act = s.active != 0
+    isY2 = (ldir2 == FYN) | (ldir2 == FYP)
+    m_yhit = ft & isY2
+    a = a & ~m_yhit
 
     # ---- ramp Y hit (trace.h:471-478) --------------------------------------
-    ramp_go = act & is_ramp
-    ry_hit = ramp_go & ((ldir2 == FYN) | (ldir2 == FYP))
-    s = _terminate(s, ry_hit, T_WALL,
-                   ldir=jnp.where(ray_y2 < 0.0, FYN, FYP),
-                   colid=jnp.where(ray_y2 >= 0.0, C_CEIL, C_FLOOR),
-                   fog=s.fog, dist=cdist2, pos=pos2, ray=ray2)
-    act = s.active != 0
+    ramp_go = a & is_ramp
+    m_ryhit = ramp_go & isY2
+    a = a & ~m_ryhit
 
     # ---- X/Z continuation: rebase wdist, advance cell ----------------------
-    cont = act & (is_floorish | is_tall | is_ramp)
+    cont = a & (is_floorish | is_tall | is_ramp)
     xstep = cont & xmin
     zstep = cont & zmin
     stepped = xstep | zstep
@@ -505,7 +565,7 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig) -> SegState:
     # ---- portal traversal targets (trace.h:507-650): the whole block -
     # including the portal-field fetch - runs only when some active ray
     # stands on a portal cell (tile-uniform branch on the pallas path)
-    any_portal = jnp.max(jnp.where(act & is_portal, 1, 0)) > 0
+    any_portal = (flags & 4) > 0
 
     def portal_calc(_):
         pkind, prot, pdcx, pdcz = env.fetch_portal(f.cell_idx)
@@ -562,7 +622,7 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig) -> SegState:
     (pkind, ldir_p, px_f, pz_f, cx_f, cz_f, vx_r, vz_r, wx_r, wz_r,
      ix_r, iz_r, gx_r, gz_r) = jax.lax.cond(
         any_portal, portal_calc, portal_skip, 0)
-    pgo = act & is_portal & (pkind == 1)
+    pgo = a & is_portal & (pkind == 1)
 
     # ---- the ONE per-step fetch: landing cell of steppers & portal rays --
     tgt_cx = jnp.where(pgo, cx_f, jnp.where(stepped, cx2, s.cx))
@@ -599,36 +659,76 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig) -> SegState:
     wny = jnp.where(revert,
                     jnp.where(gy > 0, wny - iavel.y, wny + iavel.y), wny)
     pos3 = V3(pos2.x, pos3y, pos2.z)
-    wall2 = chk & ~xc_tall
-    s = _terminate(s, wall2, T_WALL, ldir=ldir3, colid=C_WALL,
-                   fog=fog2, dist=cdist2, pos=pos3, ray=ray3)
-    act = s.active != 0
+    m_wall2 = chk & ~xc_tall
+    a = a & ~m_wall2
 
-    # ---- portal cells (trace.h:507-650) -----------------------------------
-    p_bad = act & is_portal & (pkind == 2)
-    p_wrong = act & is_portal & (pkind == 3)
-    for pm_mask, colid in ((p_bad, C_WALL), (p_wrong, C_MAGENTA)):
-        sphm = pm_mask & has_aux & (s.cdist > fire)
-        s = _terminate(s, sphm, T_SPHERE, fog=s.fog, dist=s.aux_dist,
-                       ray=ray)
-        wallm = pm_mask & (s.active != 0)
-        s = _terminate(s, wallm, T_WALL, ldir=s.ldir, colid=colid,
-                       fog=s.fog, dist=s.cdist, pos=pos, ray=ray)
-    act = s.active != 0
+    # ---- portal cells (trace.h:507-650) + plain wall (trace.h:651-664) ----
+    p_bad = a & is_portal & (pkind == 2)
+    p_wrong = a & is_portal & (pkind == 3)
+    wall0 = a & is_wall
+    sphfire = has_aux & (s.cdist > fire)
+    m_pbs = p_bad & sphfire
+    m_pbw = p_bad & ~sphfire
+    m_pws = p_wrong & sphfire
+    m_pww = p_wrong & ~sphfire
+    m_sphw = wall0 & sphfire
+    m_wallm = wall0 & ~sphfire
+    a = a & ~(p_bad | p_wrong | wall0)
 
-    # ---- plain wall (trace.h:651-664) --------------------------------------
-    wallm = act & is_wall
-    sphw = wallm & has_aux & (s.cdist > fire)
-    s = _terminate(s, sphw, T_SPHERE, fog=s.fog, dist=s.aux_dist, ray=ray)
-    wallm = wallm & (s.active != 0)
-    s = _terminate(s, wallm, T_WALL, ldir=s.ldir,
-                   colid=jnp.where(s.ldir == FYP, C_CEIL, C_WALL),
-                   fog=s.fog, dist=s.cdist, pos=pos, ray=ray)
-    act = s.active != 0
+    # ---- merged terminal writes (values identical to the per-site
+    # _terminate calls they replace; see the masks' derivations above) ----
+    sphm = m_presph | m_sph2 | m_pbs | m_pws | m_sphw
+    wallT = m_yhit | m_ryhit | m_wall2 | m_pbw | m_pww | m_wallm
+    term = sphm | wallT
+    near = m_yhit | m_ryhit | m_wall2          # terminals at cdist2
+    my2 = m_yhit | m_ryhit
+    ldir_ry = jnp.where(ray_y2 < 0.0, FYN, FYP)
+    s = s._replace(
+        tkind=jnp.where(term, jnp.where(sphm, T_SPHERE, T_WALL),
+                        s.tkind),
+        tdist=jnp.where(term,
+                        jnp.where(sphm, s.aux_dist,
+                                  jnp.where(near, cdist2, s.cdist)),
+                        s.tdist),
+        tfog=jnp.where(term,
+                       jnp.where(m_sph2, s.fog + extra,
+                                 jnp.where(m_yhit | m_wall2, fog2,
+                                           s.fog)),
+                       s.tfog),
+        # wall2 lanes are tall (never ramp), so their ldir3 == ldir2
+        # and their ray3.y == ray.y
+        tldir=jnp.where(wallT,
+                        jnp.where(m_ryhit, ldir_ry,
+                                  jnp.where(m_yhit | m_wall2, ldir2,
+                                            s.ldir)),
+                        s.tldir),
+        tcolid=jnp.where(
+            wallT,
+            jnp.where(m_yhit, jnp.where(gy > 0, C_CEIL, C_FLOOR),
+             jnp.where(m_ryhit,
+                       jnp.where(ray_y2 >= 0.0, C_CEIL, C_FLOOR),
+              jnp.where(m_pww, C_MAGENTA,
+               jnp.where(m_wallm & (s.ldir == FYP), C_CEIL, C_WALL)))),
+            s.tcolid),
+        tpos=V3(
+            jnp.where(wallT, jnp.where(near, pos2.x, pos.x), s.tpos.x),
+            jnp.where(wallT,
+                      jnp.where(my2, pos2.y,
+                                jnp.where(m_wall2, pos3y, pos.y)),
+                      s.tpos.y),
+            jnp.where(wallT, jnp.where(near, pos2.z, pos.z), s.tpos.z)),
+        # every terminal ray shares x/z with the carried ray; only the
+        # ramp-tilted terminals (pre-sphere, ramp Y hit) differ in y
+        tray=V3(jnp.where(term, ray.x, s.tray.x),
+                jnp.where(term,
+                          jnp.where(m_presph | m_ryhit, ray_y2, ray.y),
+                          s.tray.y),
+                jnp.where(term, ray.z, s.tray.z)),
+        active=jnp.where(term, 0, s.active))
 
     # ---- merge state updates for survivors ---------------------------------
-    cont2 = act & stepped
-    pgo2 = act & pgo
+    cont2 = a & stepped
+    pgo2 = a & pgo
     new_pos = V3(jnp.where(pgo2, px_f, jnp.where(cont2, pos3.x, pos.x)),
                  jnp.where(cont2, pos3.y, pos.y),
                  jnp.where(pgo2, pz_f, jnp.where(cont2, pos3.z, pos.z)))
@@ -664,11 +764,15 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig) -> SegState:
     # entry is still ahead was never registered by the reference and is
     # dropped (it belonged to the abandoned line).
     if env.sphere_all is not None:
-        ev = pgo2 | (stepped & (tr1 | tr2 | ramp_go))
+        # y-shift/ramp events only matter for lanes whose XZ line can
+        # see a sphere (relevance bit, shift-invariant); a pending
+        # candidate implies the bit, so the drop logic is unaffected
+        ev = pgo2 | (stepped & (tr1 | tr2 | ramp_go)
+                     & ((s.sph_dirty & 2) != 0))
         drop = (ev & (s.aux_dist != F32(-1.0))
                 & (s.cdist < s.aux_t0))
         s = s._replace(
-            sph_dirty=jnp.where(ev, 1, s.sph_dirty),
+            sph_dirty=jnp.where(ev, s.sph_dirty | 1, s.sph_dirty),
             aux_dist=jnp.where(drop, F32(-1.0), s.aux_dist))
 
     # ---- end-of-iteration sphere check (trace.h:668-673) ------------------
@@ -805,28 +909,32 @@ def run_segment(env: Env, cfg: RenderConfig, ifrom: V3, iray: V3,
     s0 = init_segment(ifrom, iray, active, env)
     if env.sphere_all is not None:
         s0 = _apply_aux(s0, env.sphere_all(s0, s0.active != 0))
-    n_act0 = jnp.sum(active.astype(I32))
+    fl0 = compute_flags(s0, env)
 
     def cond(carry):
-        step, n_act, s = carry
-        return (step < cfg.maxsteps) & (n_act > 0)
+        step, fl, s = carry
+        return (step < cfg.maxsteps) & ((fl & 1) > 0)
 
     def body(carry):
-        step, n_act, s = carry
+        step, fl, s = carry
         for k in range(chunk):
-            prev = s.active
+            if cfg.profile:
+                prev = s.active
             if cfg.lean_step:
                 s = jax.lax.cond(
                     _lean_ok(s),
                     lambda t: segment_body_lean(t, env, cfg),
-                    lambda t: segment_body(t, env, cfg), s)
+                    lambda t: segment_body(t, env, cfg, fl), s)
             else:
-                s = segment_body(s, env, cfg)
-            died = (prev != 0) & (s.active == 0)
-            s = s._replace(tstep=jnp.where(died, step + 1 + k, s.tstep))
-        return (step + chunk, jnp.sum(s.active), s)
+                s = segment_body(s, env, cfg, fl)
+            fl = compute_flags(s, env)
+            if cfg.profile:
+                died = (prev != 0) & (s.active == 0)
+                s = s._replace(
+                    tstep=jnp.where(died, step + 1 + k, s.tstep))
+        return (step + chunk, fl, s)
 
-    _, _, s = jax.lax.while_loop(cond, body, (jnp.int32(0), n_act0, s0))
+    _, _, s = jax.lax.while_loop(cond, body, (jnp.int32(0), fl0, s0))
     # still-active rays ran out of steps: sky colour = current ray dir
     left = s.active != 0
     s = s._replace(tkind=jnp.where(left, T_SKY, s.tkind),

@@ -118,12 +118,22 @@ def make_env(world: W.WorldDev, meta: W.WorldMeta,
                     world.sph_r[si], world.sph_refl[si],
                     tuple(world.sph_col[si, c] for c in range(3)))
 
-        sphere_all = (make_sphere_all(meta.n_spheres, get_sphere, math)
+        def get_bound():
+            c = world.sph_pos[:meta.n_spheres]
+            lo = c.min(axis=0)
+            hi = c.max(axis=0)
+            ctr = (lo + hi) * F32(0.5)
+            rad = (jnp.sqrt(((c - ctr[None, :]) ** 2).sum(axis=1)).max()
+                   + world.sph_r[:meta.n_spheres].max())
+            return V3(ctr[0], ctr[1], ctr[2]), rad
+
+        sphere_all = (make_sphere_all(meta.n_spheres, get_sphere, math,
+                                      get_bound)
                       if meta.n_spheres > 0 else None)
     return Env(math=math, fetch=fetch, fetch_portal=fetch_portal,
                sphere_pass=sphere_pass,
                randfs=lambda s: lcg.randfs(s, jnp),
-               sphere_all=sphere_all)
+               sphere_all=sphere_all, skip_ok=meta.has_clear)
 
 
 def trace_wave(world: W.WorldDev, meta: W.WorldMeta, cfg: RenderConfig,

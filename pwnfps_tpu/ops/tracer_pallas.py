@@ -116,11 +116,22 @@ def build_tables(world: W.WorldDev, meta: W.WorldMeta,
                                 0)
     ns = world.sph_pos.shape[0]
     sph = jnp.zeros((16, 8), jnp.float32)
-    take = min(ns, 16)
+    take = min(ns, NSPH_MAX)
     sph = sph.at[:take, 0:3].set(world.sph_pos[:take])
     sph = sph.at[:take, 3].set(world.sph_r[:take])
     sph = sph.at[:take, 4].set(world.sph_refl[:take])
     sph = sph.at[:take, 5:8].set(world.sph_col[:take])
+    if meta.n_spheres > 0:
+        # row NSPH_MAX: bounding sphere of all scene spheres (centre +
+        # radius), the fast path's hoist-skip gate
+        c = world.sph_pos[:meta.n_spheres]
+        lo = c.min(axis=0)
+        hi = c.max(axis=0)
+        ctr = (lo + hi) * jnp.float32(0.5)
+        rad = (jnp.sqrt(((c - ctr[None, :]) ** 2).sum(axis=1)).max()
+               + world.sph_r[:meta.n_spheres].max())
+        sph = sph.at[NSPH_MAX, 0:3].set(ctr)
+        sph = sph.at[NSPH_MAX, 3].set(rad)
     def bcast_u32(flat, chunks):
         return jnp.repeat(
             jax.lax.bitcast_convert_type(flat, jnp.int32)
@@ -267,7 +278,7 @@ def _sphere_pass_pallas(mask_ref, sph_ref, n_spheres: int, math: Math,
     return run
 
 
-def _kernel(cfg: RenderConfig, n_spheres: int, lh: int,
+def _kernel(cfg: RenderConfig, n_spheres: int, lh: int, has_clear: bool,
             word_ref, cword_ref, mask_ref, sph_ref,
             rsqrt_ref, rcp_ref, sec_ref,
             fx, fy, fz, rx, ry, rz, seed_ref,
@@ -297,11 +308,16 @@ def _kernel(cfg: RenderConfig, n_spheres: int, lh: int,
                     sph_ref[si, 3], sph_ref[si, 4],
                     tuple(sph_ref[si, 5 + c] for c in range(3)))
 
-        sphere_all = (make_sphere_all(n_spheres, get_sphere, math)
+        def get_bound():
+            return (V3(sph_ref[NSPH_MAX, 0], sph_ref[NSPH_MAX, 1],
+                       sph_ref[NSPH_MAX, 2]), sph_ref[NSPH_MAX, 3])
+
+        sphere_all = (make_sphere_all(n_spheres, get_sphere, math,
+                                      get_bound)
                       if n_spheres > 0 else None)
     env = Env(math=math, fetch=fetch, fetch_portal=fetch_portal,
               sphere_pass=sphere_pass, randfs=_randfs_i32,
-              sphere_all=sphere_all)
+              sphere_all=sphere_all, skip_ok=has_clear)
 
     ifrom = V3(fx[:], fy[:], fz[:])
     iray = V3(rx[:], ry[:], rz[:])
@@ -315,9 +331,10 @@ def _kernel(cfg: RenderConfig, n_spheres: int, lh: int,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "n_spheres", "n_rays", "lh"))
+                   static_argnames=("cfg", "n_spheres", "n_rays", "lh",
+                                    "has_clear"))
 def _trace_pallas(tables: PallasTables, cfg: RenderConfig,
-                  n_spheres: int, n_rays: int, lh: int,
+                  n_spheres: int, n_rays: int, lh: int, has_clear: bool,
                   fx, fy, fz, rx, ry, rz, seeds, sec):
     tile = PARITY_TILE if cfg.parity else TILE
     ROWS = tile // 128
@@ -353,7 +370,7 @@ def _trace_pallas(tables: PallasTables, cfg: RenderConfig,
         out_specs=[tile_spec] * 5,
     )
     outs = [jax.ShapeDtypeStruct((tiles * ROWS, 128), jnp.float32)] * 5
-    kern = functools.partial(_kernel, cfg, n_spheres, lh)
+    kern = functools.partial(_kernel, cfg, n_spheres, lh, has_clear)
     ob, og, orr, oa, od = pl.pallas_call(
         kern, out_shape=outs, grid_spec=grid_spec,
     )(tables.word, tables.cword, tables.mask, tables.sph,
@@ -375,5 +392,6 @@ def trace_wave_pallas(world: W.WorldDev, meta: W.WorldMeta,
     tables = build_tables(world, meta, _rows(cfg.parity))
     n = ifrom.x.shape[0]
     return _trace_pallas(tables, cfg, meta.n_spheres, n, meta.lh,
+                         meta.has_clear,
                          ifrom.x, ifrom.y, ifrom.z,
                          iray.x, iray.y, iray.z, seed, sec)

@@ -77,6 +77,9 @@ class WorldMeta:
 
     k_bucket: int          # bucket slots the tracer must scan (0 = none)
     n_spheres: int
+    # any nonzero clearance cell?  False on tight mazes, letting the
+    # tracer strip the empty-space-skip ops from the step body entirely
+    has_clear: bool = False
     # rows of the 64x64 grid that hold level content or spheres, rounded
     # up to a multiple of 8.  The pallas backend sizes its cell-table
     # gather chunks by this: rows beyond it are uniform pad whose packed
@@ -211,7 +214,8 @@ def build_world(level: LevelData, spheres: SphereSet, tables: SseTables,
     last = max(int(grid_rows.max()) if grid_rows.size else 0,
                int(cnt_rows.max()) if cnt_rows.size else 0)
     lh = min(64, -(-(last + 1) // 8) * 8)
-    return dev, WorldMeta(k_bucket=k_needed, n_spheres=max(n, 0), lh=lh)
+    return dev, WorldMeta(k_bucket=k_needed, n_spheres=max(n, 0), lh=lh,
+                          has_clear=bool(clear.any()))
 
 
 # word decode helpers (work on numpy or jnp int32 arrays)

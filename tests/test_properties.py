@@ -66,7 +66,7 @@ def _rand_rays(lv, n, seed):
 def test_dda_terminates_with_finite_distance(level, seed):
     lv = load_level(REF_LEVEL) if level == "ref" else make_portal_chain(6)
     world, meta = _world(lv)
-    cfg = RenderConfig(maxsteps=1000)
+    cfg = RenderConfig(maxsteps=1000, profile=True)
     env = make_env(world, meta, cfg)
     fv, rv = _rand_rays(lv, 128, seed)
     active = jnp.ones(128, bool)
