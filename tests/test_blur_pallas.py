@@ -55,3 +55,16 @@ def test_blur_pallas_multipass():
     got = _run(dof_blur_auto, fb, z, passes=2)
     want = np.asarray(jax.jit(lambda f, zz: dof_blur(f, zz, 2))(fb, z))
     assert (got == want).all()
+
+
+def test_blur_batched_frames_bitexact():
+    """frame_h < h blurs vertically stacked camera frames exactly as
+    per-frame blurs (the multicam path, parallel/sharding.py)."""
+    C, h, w = 3, 40, 256
+    fb, z = _frame(C * h, w, 6.0, seed=99)
+    got = _run(lambda f, d, p: dof_blur_auto(f, d, p, frame_h=h), fb, z)
+    for k in range(C):
+        want = np.asarray(jax.jit(dof_blur)(fb[k * h:(k + 1) * h],
+                                            z[k * h:(k + 1) * h]))
+        eq = got[k * h:(k + 1) * h] == want
+        assert eq.all(), f"camera {k}: {(~eq).sum()} px differ"
