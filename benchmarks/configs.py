@@ -171,11 +171,47 @@ def bench_stress():
 
 
 def bench_maze():
-    from pwnfps_tpu.world.procgen import generate_maze
-    lv = generate_maze(seed=7)
-    sx, sz = lv.spawn
-    return _time_frames(_std_render(lv, 1280, 720,
-                                    (sx + 0.5, 0.3, sz + 0.5)))
+    """Config #3: 1024 portal-linked sectors (4-page world atlas)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pwnfps_tpu.core.config import RenderConfig
+    from pwnfps_tpu.ops import worlddev as W
+    from pwnfps_tpu.render.camera import (camera_vectors, mat4_identity,
+                                          mat4_roty)
+    from pwnfps_tpu.render.frame import render_frame
+    from pwnfps_tpu.world.objects import ObjectPool
+    from pwnfps_tpu.world.procgen import generate_sector_maze
+
+    words, info = generate_sector_maze(seed=7)
+    sp, sx, sz = info["spawn"]
+    pool = ObjectPool()
+    i = pool.obj_new()
+    pool.obj_set_sphere(i, 0.25, 0.5, sx + 0.5, 0.35, sz + 1.2,
+                        0.9, 0.6, 0.6)
+    from pwnfps_tpu.core.approx import SseTables
+    world, meta = W.build_world_paged(words, pool.prepare_render(), sp,
+                                      SseTables.load())
+    world = jax.tree.map(jnp.asarray, world)
+    w, h = 1280, 720
+    cfg = RenderConfig(width=w, height=h, backend="pallas", cam_page=sp)
+    cam0 = mat4_identity()
+    cam0[3, :3] = (sx + 0.5, 0.5, sz + 0.5)
+
+    def render(k):
+        cam = cam0.copy()
+        mat4_roty(cam, 0.05 * k)
+        o, rb, rx, ry = camera_vectors(cam, w, h)
+        fb, zb = render_frame(world, meta, cfg, jnp.asarray(o),
+                              jnp.asarray(rb), jnp.asarray(rx),
+                              jnp.asarray(ry), np.float32(0.016 * k))
+        return fb
+
+    out = _time_frames(render)
+    out["sectors"] = info["sectors"]
+    out["pages"] = int(meta.n_pages)
+    out["portal_pairs"] = info["portal_pairs"]
+    return out
 
 
 def bench_multicam():

@@ -79,6 +79,9 @@ class RenderConfig:
     # record the per-ray DDA step count at termination (SegOut.tstep).
     # Telemetry only; costs two vector ops per step, so off by default.
     profile: bool = False
+    # page the camera stands in (multi-page world atlases; see
+    # ops/worlddev.py "Paged worlds")
+    cam_page: int = 0
     # two-tier stepping: when every active ray in a tile is in a plain
     # floor/tall/wall cell with no pending sphere hit, run the lean
     # common-case body (~1/3 the ops) instead of the full one.  Within

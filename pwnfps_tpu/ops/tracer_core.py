@@ -72,8 +72,11 @@ class Env(NamedTuple):
     """Backend services for the shared tracer semantics."""
 
     math: Math
-    fetch: Any         # fn(cx, cz) -> CellFields (OOB clamps to cell 0)
-    fetch_portal: Any  # fn(cell_idx) -> (pkind, prot, pdcx, pdcz)
+    # fn(cx, cz, page) -> CellFields (OOB clamps to cell 0 of the
+    # lane's page; page is None in single-page worlds)
+    fetch: Any
+    # fn(cell_idx) -> (pkind, prot, pdcx, pdcz[, dpage when paged])
+    fetch_portal: Any
     sphere_pass: Any   # fn(state, inb, fields) -> aux 5-tuple (or None)
     randfs: Any        # fn(seed) -> (seed, f32 value)
     # fast mode only: fn(state, mask) -> aux 6-tuple testing EVERY
@@ -84,6 +87,9 @@ class Env(NamedTuple):
     # clearance field is all-zero (tight maze), stripping the skip ops
     # from the step body at trace time.
     skip_ok: bool = True
+    # static: multi-page world atlas (SegState.page lanes live, portal
+    # traversal may switch pages).  False strips every page op.
+    paged: bool = False
 
 
 def xcls_compress(xcls):
@@ -114,6 +120,7 @@ class SegState(NamedTuple):
     gz: jnp.ndarray
     cx: jnp.ndarray
     cz: jnp.ndarray
+    page: Any                 # i32 page per lane, or None (single-page)
     cdist: jnp.ndarray
     fog: jnp.ndarray
     ldir: jnp.ndarray
@@ -146,6 +153,7 @@ class SegOut(NamedTuple):
     tdist: jnp.ndarray
     tpos: V3
     tray: V3
+    tpage: Any                # terminal page (None when single-page)
     tstep: jnp.ndarray
     aux_refl: jnp.ndarray
     aux_pos: V3
@@ -161,7 +169,7 @@ _FIRE_NONE = 3.0e38     # aux_fire sentinel while no candidate is pending
 
 
 def make_sphere_all(n_spheres: int, get_sphere, math: Math,
-                    get_bound=None):
+                    get_bound=None, sphere_page=None):
     """Line-vs-all-spheres candidate pass for the fast path.
 
     The reference registers a sphere candidate at the first DDA step
@@ -204,6 +212,10 @@ def make_sphere_all(n_spheres: int, get_sphere, math: Math,
         w_from = V3(zero, zero, zero)
         w_col = (zero, zero, zero)
         base = mask & (s.active != 0)
+        if sphere_page is not None:
+            # paged world: every sphere lives on one page; candidates
+            # only exist for lanes currently in it
+            base = base & (s.page == sphere_page)
         for si in range(n_spheres):
             c, sr, srefl, scol = get_sphere(si)
             spos = V3(c.x + zero, c.y + zero, c.z + zero)
@@ -277,6 +289,8 @@ def make_sphere_all(n_spheres: int, get_sphere, math: Math,
         dt = rx * s.ray.x + rz * s.ray.z
         l2 = s.ray.x * s.ray.x + s.ray.z * s.ray.z
         quick = (d2 - br * br) * l2 < dt * dt
+        if sphere_page is not None:
+            quick = quick & (s.page == sphere_page)
         rel_bit = jnp.where(quick, 2, 0).astype(s.sph_dirty.dtype)
         anyq = jnp.max(jnp.where(mask & (s.active != 0) & quick,
                                  1, 0)) > 0
@@ -299,8 +313,11 @@ def _apply_aux(s: SegState, aux) -> SegState:
     return s
 
 
-def init_segment(ifrom: V3, iray: V3, active, env: Env) -> SegState:
+def init_segment(ifrom: V3, iray: V3, active, env: Env,
+                 page=None) -> SegState:
     math = env.math
+    if env.paged and page is None:
+        page = jnp.zeros_like(ifrom.x).astype(I32)
     ray = normalise_sse(iray, math.rsq)
     eps = F32(EPSILON)
 
@@ -329,9 +346,10 @@ def init_segment(ifrom: V3, iray: V3, active, env: Env) -> SegState:
     zi = jnp.zeros_like(cx)
     return SegState(
         pos=ifrom, ray=ray, iavel=iavel, wdist=wdist,
-        fields=env.fetch(cx, cz),
+        fields=env.fetch(cx, cz, page if env.paged else None),
         gx=gx, gy=gy, gz=gz,
-        cx=cx, cz=cz, cdist=z1, fog=z1, ldir=zi + FYN,
+        cx=cx, cz=cz, page=page if env.paged else None,
+        cdist=z1, fog=z1, ldir=zi + FYN,
         active=active.astype(I32),
         aux_dist=z1 - F32(1.0), aux_t0=z1 - F32(1.0), sph_dirty=zi,
         aux_refl=z1 + F32(0.25),
@@ -568,7 +586,12 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig,
     any_portal = (flags & 4) > 0
 
     def portal_calc(_):
-        pkind, prot, pdcx, pdcz = env.fetch_portal(f.cell_idx)
+        if env.paged:
+            pkind, prot, pdcx, pdcz, dpage = env.fetch_portal(
+                f.cell_idx)
+        else:
+            pkind, prot, pdcx, pdcz = env.fetch_portal(f.cell_idx)
+            dpage = s.cx  # placeholder, unused
         cxp = s.cx + pdcx
         czp = s.cz + pdcz
         px_t = pos.x + pdcx.astype(F32)
@@ -612,22 +635,24 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig,
         return (pkind, ldir_p,
                 px_r + step_dx.astype(F32), pz_r + step_dz.astype(F32),
                 cxp + step_dx, czp + step_dz,
-                vx_r, vz_r, wx_r, wz_r, ix_r, iz_r, gx_r, gz_r)
+                vx_r, vz_r, wx_r, wz_r, ix_r, iz_r, gx_r, gz_r, dpage)
 
     def portal_skip(_):
         zi = jnp.zeros_like(s.cx)
         zf = jnp.zeros_like(pos.x)
-        return (zi, zi, zf, zf, zi, zi, zf, zf, zf, zf, zf, zf, zi, zi)
+        return (zi, zi, zf, zf, zi, zi, zf, zf, zf, zf, zf, zf, zi, zi,
+                zi)
 
     (pkind, ldir_p, px_f, pz_f, cx_f, cz_f, vx_r, vz_r, wx_r, wz_r,
-     ix_r, iz_r, gx_r, gz_r) = jax.lax.cond(
+     ix_r, iz_r, gx_r, gz_r, page_f) = jax.lax.cond(
         any_portal, portal_calc, portal_skip, 0)
     pgo = a & is_portal & (pkind == 1)
 
     # ---- the ONE per-step fetch: landing cell of steppers & portal rays --
     tgt_cx = jnp.where(pgo, cx_f, jnp.where(stepped, cx2, s.cx))
     tgt_cz = jnp.where(pgo, cz_f, jnp.where(stepped, cz2, s.cz))
-    f_next = env.fetch(tgt_cx, tgt_cz)
+    tgt_pg = (jnp.where(pgo, page_f, s.page) if env.paged else None)
+    f_next = env.fetch(tgt_cx, tgt_cz, tgt_pg)
 
     # ---- transitions (floor<->tall shifts) --------------------------------
     f2 = f_next
@@ -752,6 +777,8 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig,
     s = s._replace(pos=new_pos, ray=new_ray, wdist=new_wd, iavel=new_ia,
                    fields=new_f,
                    gx=new_gx, gz=new_gz, cx=new_cx, cz=new_cz,
+                   page=(jnp.where(pgo2, page_f, s.page)
+                         if env.paged else None),
                    cdist=new_cd, fog=new_fog, ldir=new_ld)
 
     # hoisted-sphere mode: candidates are a function of the ray LINE, so
@@ -843,7 +870,7 @@ def segment_body_lean(s: SegState, env: Env, cfg: RenderConfig
 
     tgt_cx = jnp.where(stepped, cx2, s.cx)
     tgt_cz = jnp.where(stepped, cz2, s.cz)
-    f_next = env.fetch(tgt_cx, tgt_cz)
+    f_next = env.fetch(tgt_cx, tgt_cz, s.page)
     ncls = f_next.cls
     n_tall = (ncls == W.TALL) | (ncls == W.TALLFOG)
     n_lower = ncls == W.LOWER
@@ -898,7 +925,7 @@ def _lean_ok(s: SegState) -> jnp.ndarray:
 
 
 def run_segment(env: Env, cfg: RenderConfig, ifrom: V3, iray: V3,
-                active) -> SegOut:
+                active, page=None) -> SegOut:
     chunk = max(1, cfg.step_chunk)
     if cfg.maxsteps % chunk != 0:
         # the while cond only checks at chunk boundaries; a non-divisor
@@ -906,7 +933,7 @@ def run_segment(env: Env, cfg: RenderConfig, ifrom: V3, iray: V3,
         # exactly 1000, trace.h:247), flipping sky-vs-hit outcomes.
         raise ValueError(
             f"step_chunk={chunk} must divide maxsteps={cfg.maxsteps}")
-    s0 = init_segment(ifrom, iray, active, env)
+    s0 = init_segment(ifrom, iray, active, env, page)
     if env.sphere_all is not None:
         s0 = _apply_aux(s0, env.sphere_all(s0, s0.active != 0))
     fl0 = compute_flags(s0, env)
@@ -942,7 +969,7 @@ def run_segment(env: Env, cfg: RenderConfig, ifrom: V3, iray: V3,
                    tstep=jnp.where(left, cfg.maxsteps, s.tstep))
     return SegOut(tkind=s.tkind, tldir=s.tldir, tcolid=s.tcolid,
                   tfog=s.tfog, tdist=s.tdist, tpos=s.tpos, tray=s.tray,
-                  tstep=s.tstep,
+                  tpage=s.page, tstep=s.tstep,
                   aux_refl=s.aux_refl, aux_pos=s.aux_pos,
                   aux_norm=s.aux_norm, aux_col=s.aux_col)
 
@@ -1033,7 +1060,7 @@ def shade_and_bounce(out: SegOut, icol: C4, seed, sec, depth_ok: bool,
 
 
 def trace_wave_env(env: Env, cfg: RenderConfig, ifrom: V3, iray: V3,
-                   seed, sec):
+                   seed, sec, page=None):
     """Full multi-bounce trace. Returns (col: C4, dist)."""
     one = jnp.ones_like(ifrom.x)
     active = one > 0.0
@@ -1044,7 +1071,8 @@ def trace_wave_env(env: Env, cfg: RenderConfig, ifrom: V3, iray: V3,
     dist0 = None
     cur_from, cur_ray = ifrom, iray
     for k in range(cfg.n_waves):
-        out = run_segment(env, cfg, cur_from, cur_ray, active)
+        out = run_segment(env, cfg, cur_from, cur_ray, active, page)
+        page = out.tpage     # bounce waves continue in the hit's page
         depth_ok = k < cfg.reflect
         base, refl, bounce, mpos, mray, seed = shade_and_bounce(
             out, icol, seed, sec, depth_ok, env)

@@ -43,7 +43,7 @@ def make_math(world: W.WorldDev, parity: bool) -> Math:
 
 def _sphere_pass(world: W.WorldDev, meta: W.WorldMeta, math: Math):
     """Bucket-slot scan preserving reference test order (trace.h:252-296)."""
-    K = world.buckets.shape[0] // 4096
+    K = world.buckets.shape[0] // (4096 * meta.n_pages)
     ns = world.sph_pos.shape[0]
 
     def run(s: SegState, inb, f: CellFields):
@@ -93,15 +93,20 @@ def make_env(world: W.WorldDev, meta: W.WorldMeta,
              cfg: RenderConfig) -> Env:
     math = make_math(world, cfg.parity)
 
-    def fetch(cx, cz) -> CellFields:
+    paged = meta.n_pages > 1
+
+    def fetch(cx, cz, page) -> CellFields:
         inb = (cx >= 0) & (cx < 64) & (cz >= 0) & (cz < 64)
         idx = jnp.where(inb, cz * 64 + cx, 0)
+        if paged:
+            idx = idx + page * 4096
         w = jnp.take(world.word, idx, mode="clip")
         return decode_word(w, idx)
 
     def fetch_portal(cell_idx):
         w = jnp.take(world.word, cell_idx, mode="clip")
-        return decode_portal_word(w)
+        out = decode_portal_word(w)
+        return out + (W.w_dpage(w),) if paged else out
 
     # cell-driven bucket scan: every lane in parity mode, dirty lanes
     # (post portal/y-shift/ramp) in fast mode
@@ -127,17 +132,19 @@ def make_env(world: W.WorldDev, meta: W.WorldMeta,
                    + world.sph_r[:meta.n_spheres].max())
             return V3(ctr[0], ctr[1], ctr[2]), rad
 
-        sphere_all = (make_sphere_all(meta.n_spheres, get_sphere, math,
-                                      get_bound)
-                      if meta.n_spheres > 0 else None)
+        sphere_all = (make_sphere_all(
+            meta.n_spheres, get_sphere, math, get_bound,
+            sphere_page=meta.sphere_page if paged else None)
+            if meta.n_spheres > 0 else None)
     return Env(math=math, fetch=fetch, fetch_portal=fetch_portal,
                sphere_pass=sphere_pass,
                randfs=lambda s: lcg.randfs(s, jnp),
-               sphere_all=sphere_all, skip_ok=meta.has_clear)
+               sphere_all=sphere_all, skip_ok=meta.has_clear,
+               paged=paged)
 
 
 def trace_wave(world: W.WorldDev, meta: W.WorldMeta, cfg: RenderConfig,
-               ifrom: V3, iray: V3, seed, sec):
+               ifrom: V3, iray: V3, seed, sec, page=None):
     """Full multi-bounce trace. Returns (col: C4 of [N], dist [N])."""
     env = make_env(world, meta, cfg)
-    return trace_wave_env(env, cfg, ifrom, iray, seed, sec)
+    return trace_wave_env(env, cfg, ifrom, iray, seed, sec, page)

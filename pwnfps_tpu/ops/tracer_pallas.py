@@ -86,13 +86,22 @@ def build_tables(world: W.WorldDev, meta: W.WorldMeta,
     Cell tables cover only the first meta.lh grid rows: rows beyond hold
     uniform pad whose compact byte is 0 — exactly what a chunked-gather
     miss returns — so trimming cuts gather chunks and VMEM 64/lh-fold
-    without changing any fetched value."""
-    ROWS = rows
-    ncell = 64 * meta.lh
+    without changing any fetched value.
 
-    def bcast_chunks(flat):   # [4096] -> [wchunks*ROWS,128]
-        return jnp.repeat(flat[:ncell].reshape(_wchunks(meta.lh), 128),
-                          ROWS, axis=0)
+    Paged worlds (meta.n_pages > 1) store cell tables UNREPLICATED
+    ([chunks, 128], one row per chunk): the per-sublane replication
+    that makes single-page gathers one take per chunk would cost
+    n_pages x ROWS x table bytes of VMEM; the paged fetch instead
+    broadcasts each chunk row on the fly (_chunked_gather_paged)."""
+    ROWS = rows
+    paged = meta.n_pages > 1
+    ncell = 64 * meta.lh * meta.n_pages
+
+    def bcast_chunks(flat):   # [P*4096] -> [wchunks*ROWS,128] (or flat)
+        ch = flat[:ncell].reshape(-1, 128)
+        if paged:
+            return ch
+        return jnp.repeat(ch, ROWS, axis=0)
 
     # compact common-path entry (16 bits, 2 cells per int32):
     # cls(4) | xcls2(2) | has_sph(1) | clear(4)
@@ -102,13 +111,19 @@ def build_tables(world: W.WorldDev, meta: W.WorldMeta,
     cent = (cls | (xcls_compress(W.w_xcls(w)) << 4)
             | (jnp.where(W.w_nsph(w) > 0, 1, 0) << 6)
             | (clear << 7))
+    if paged:
+        # portal cells of a paged world repurpose the nsph bits as the
+        # target page, so their has_sph compact bit must stay clear
+        cent = jnp.where(cls == W.PORTAL, cent & ~jnp.int32(1 << 6),
+                         cent)
     cb = cent.reshape(ncell // 2, 2)
     cword = cb[:, 0] | (cb[:, 1] << 16)
-    cword_b = jnp.repeat(cword.reshape(_cchunks(meta.lh), 128), ROWS,
-                         axis=0)
+    cword_b = cword.reshape(-1, 128)
+    if not paged:
+        cword_b = jnp.repeat(cword_b, ROWS, axis=0)
 
-    K = world.buckets.shape[0] // 4096
-    b = world.buckets.reshape(4096, K)[:ncell]
+    K = world.buckets.shape[0] // (4096 * meta.n_pages)
+    b = world.buckets.reshape(4096 * meta.n_pages, K)[:ncell]
     mask = jnp.zeros(ncell, jnp.int32)
     for k in range(K):
         si = b[:, k]
@@ -155,13 +170,33 @@ def _chunked_gather(tab_ref, idx, rows, chunks=32):
     return out
 
 
-def _compact_fetch(cword_ref, cx, cz, rows, chunks) -> CellFields:
+def _chunked_gather_paged(tab_ref, idx, chunks):
+    """Unreplicated table ([chunks,128]): broadcast each chunk row on
+    the fly.  One extra op per chunk vs _chunked_gather, but the VMEM
+    footprint stays page-count-scalable."""
+    lo = idx & 127
+    hi = idx >> 7
+    out = jnp.zeros_like(idx)
+    for c in range(chunks):
+        row = jnp.broadcast_to(tab_ref[c:c + 1, :], idx.shape)
+        g = jnp.take_along_axis(row, lo, axis=1)
+        out = jnp.where(hi == c, g, out)
+    return out
+
+
+def _compact_fetch(cword_ref, cx, cz, rows, chunks, page=None,
+                   n_pages=1) -> CellFields:
     """Common-path fields from the 2-cells-per-int32 table: one chunked
     gather + halfword extract.  Cells beyond the table (grid rows >=
     meta.lh) miss every chunk and read 0 == the pad cells' entry."""
     inb = (cx >= 0) & (cx < 64) & (cz >= 0) & (cz < 64)
     idx = jnp.where(inb, cz * 64 + cx, 0)
-    word = _chunked_gather(cword_ref, idx >> 1, rows, chunks=chunks)
+    if n_pages > 1:
+        idx = idx + page * 4096
+        word = _chunked_gather_paged(cword_ref, idx >> 1,
+                                     chunks * n_pages)
+    else:
+        word = _chunked_gather(cword_ref, idx >> 1, rows, chunks=chunks)
     ent = (word >> ((idx & 1) * 16)) & 0x7FF
     return CellFields(cls=ent & 0xF, xcls2=(ent >> 4) & 3,
                       nsph=(ent >> 6) & 1, cell_idx=idx,
@@ -221,7 +256,7 @@ def _fast_math() -> Math:
 
 
 def _sphere_pass_pallas(mask_ref, sph_ref, n_spheres: int, math: Math,
-                        rows: int, wchunks: int):
+                        rows: int, wchunks: int, n_pages: int = 1):
     """Two-phase form of trace.h:252-296: a cheap candidate loop keeps
     only the winning sphere's parameters (last strictly-closer update,
     preserving the reference's insertion-order tie-break), then one
@@ -230,7 +265,12 @@ def _sphere_pass_pallas(mask_ref, sph_ref, n_spheres: int, math: Math,
     fewer vector ops and (in parity mode) 14x fewer table-gather
     rsqrt calls per gated step."""
     def run(s: SegState, inb, f: CellFields):
-        m = _chunked_gather(mask_ref, f.cell_idx, rows, chunks=wchunks)
+        if n_pages > 1:
+            m = _chunked_gather_paged(mask_ref, f.cell_idx,
+                                      wchunks * n_pages)
+        else:
+            m = _chunked_gather(mask_ref, f.cell_idx, rows,
+                                chunks=wchunks)
         aux_dist, aux_refl = s.aux_dist, s.aux_refl
         zero = jnp.zeros_like(s.pos.x)
         new = zero > F32(1.0)           # any update this step, per lane
@@ -279,16 +319,23 @@ def _sphere_pass_pallas(mask_ref, sph_ref, n_spheres: int, math: Math,
 
 
 def _kernel(cfg: RenderConfig, n_spheres: int, lh: int, has_clear: bool,
+            n_pages: int, sphere_page: int,
             word_ref, cword_ref, mask_ref, sph_ref,
-            rsqrt_ref, rcp_ref, sec_ref,
+            rsqrt_ref, rcp_ref, sec_ref, page0_ref,
             fx, fy, fz, rx, ry, rz, seed_ref,
             ob, og, orr, oa, od):
     rows = _rows(cfg.parity)
+    paged = n_pages > 1
 
-    def fetch(cx, cz) -> CellFields:
-        return _compact_fetch(cword_ref, cx, cz, rows, _cchunks(lh))
+    def fetch(cx, cz, page) -> CellFields:
+        return _compact_fetch(cword_ref, cx, cz, rows, _cchunks(lh),
+                              page, n_pages)
 
     def fetch_portal(cell_idx):
+        if paged:
+            w = _chunked_gather_paged(word_ref, cell_idx,
+                                      _wchunks(lh) * n_pages)
+            return decode_portal_word(w) + (W.w_dpage(w),)
         w = _chunked_gather(word_ref, cell_idx, rows,
                             chunks=_wchunks(lh))
         return decode_portal_word(w)
@@ -298,7 +345,8 @@ def _kernel(cfg: RenderConfig, n_spheres: int, lh: int, has_clear: bool,
     # cell-driven bucket scan: every lane in parity mode, dirty lanes
     # (post portal/y-shift/ramp) in fast mode
     sphere_pass = (_sphere_pass_pallas(mask_ref, sph_ref, n_spheres,
-                                       math, rows, _wchunks(lh))
+                                       math, rows, _wchunks(lh),
+                                       n_pages)
                    if n_spheres > 0 else None)
     if cfg.parity:
         sphere_all = None
@@ -312,17 +360,20 @@ def _kernel(cfg: RenderConfig, n_spheres: int, lh: int, has_clear: bool,
             return (V3(sph_ref[NSPH_MAX, 0], sph_ref[NSPH_MAX, 1],
                        sph_ref[NSPH_MAX, 2]), sph_ref[NSPH_MAX, 3])
 
-        sphere_all = (make_sphere_all(n_spheres, get_sphere, math,
-                                      get_bound)
-                      if n_spheres > 0 else None)
+        sphere_all = (make_sphere_all(
+            n_spheres, get_sphere, math, get_bound,
+            sphere_page=sphere_page if paged else None)
+            if n_spheres > 0 else None)
     env = Env(math=math, fetch=fetch, fetch_portal=fetch_portal,
               sphere_pass=sphere_pass, randfs=_randfs_i32,
-              sphere_all=sphere_all, skip_ok=has_clear)
+              sphere_all=sphere_all, skip_ok=has_clear, paged=paged)
 
     ifrom = V3(fx[:], fy[:], fz[:])
     iray = V3(rx[:], ry[:], rz[:])
+    page = (jnp.full_like(seed_ref[:], page0_ref[0, 0]) if paged
+            else None)
     col, dist = trace_wave_env(env, cfg, ifrom, iray, seed_ref[:],
-                               sec_ref[0, 0])
+                               sec_ref[0, 0], page)
     ob[:] = col.b
     og[:] = col.g
     orr[:] = col.r
@@ -332,14 +383,17 @@ def _kernel(cfg: RenderConfig, n_spheres: int, lh: int, has_clear: bool,
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "n_spheres", "n_rays", "lh",
-                                    "has_clear"))
+                                    "has_clear", "n_pages",
+                                    "sphere_page"))
 def _trace_pallas(tables: PallasTables, cfg: RenderConfig,
                   n_spheres: int, n_rays: int, lh: int, has_clear: bool,
-                  fx, fy, fz, rx, ry, rz, seeds, sec):
+                  n_pages: int, sphere_page: int,
+                  fx, fy, fz, rx, ry, rz, seeds, sec, page0):
     tile = PARITY_TILE if cfg.parity else TILE
     ROWS = tile // 128
     n_pad = -(-n_rays // tile) * tile
     tiles = n_pad // tile
+    paged = n_pages > 1
 
     def pad(a, fill):
         return jnp.pad(a, (0, n_pad - n_rays),
@@ -351,30 +405,35 @@ def _trace_pallas(tables: PallasTables, cfg: RenderConfig,
         seeds = jax.lax.bitcast_convert_type(seeds, jnp.int32)
     seeds = pad(seeds, 1)
     sec2 = jnp.asarray(sec, jnp.float32).reshape(1, 1)
+    page2 = jnp.asarray(page0, jnp.int32).reshape(1, 1)
 
     tile_spec = pl.BlockSpec((ROWS, 128), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
     full = lambda shape: pl.BlockSpec(
         shape, lambda i: tuple(0 for _ in shape),
         memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec((1, 1), lambda i: (0, 0),
+                        memory_space=pltpu.SMEM)
+    wrep = 1 if paged else ROWS    # paged cell tables are unreplicated
     grid_spec = pl.GridSpec(
         grid=(tiles,),
-        in_specs=[full((_wchunks(lh) * ROWS, 128)),
-                  full((_cchunks(lh) * ROWS, 128)),
-                  full((_wchunks(lh) * ROWS, 128)), full((16, 8)),
+        in_specs=[full((_wchunks(lh) * n_pages * wrep, 128)),
+                  full((_cchunks(lh) * n_pages * wrep, 128)),
+                  full((_wchunks(lh) * n_pages * wrep, 128)),
+                  full((16, 8)),
                   full((64 * ROWS, 128)), full((32 * ROWS, 128)),
-                  pl.BlockSpec((1, 1), lambda i: (0, 0),
-                               memory_space=pltpu.SMEM),
+                  smem, smem,
                   tile_spec, tile_spec, tile_spec,
                   tile_spec, tile_spec, tile_spec, tile_spec],
         out_specs=[tile_spec] * 5,
     )
     outs = [jax.ShapeDtypeStruct((tiles * ROWS, 128), jnp.float32)] * 5
-    kern = functools.partial(_kernel, cfg, n_spheres, lh, has_clear)
+    kern = functools.partial(_kernel, cfg, n_spheres, lh, has_clear,
+                             n_pages, sphere_page)
     ob, og, orr, oa, od = pl.pallas_call(
         kern, out_shape=outs, grid_spec=grid_spec,
     )(tables.word, tables.cword, tables.mask, tables.sph,
-      tables.rsqrt, tables.rcp, sec2,
+      tables.rsqrt, tables.rcp, sec2, page2,
       fx, fy, fz, rx, ry, rz, seeds)
 
     def unpad(a):
@@ -384,14 +443,16 @@ def _trace_pallas(tables: PallasTables, cfg: RenderConfig,
 
 
 def trace_wave_pallas(world: W.WorldDev, meta: W.WorldMeta,
-                      cfg: RenderConfig, ifrom: V3, iray: V3, seed, sec):
-    """Drop-in trace_wave with the Mosaic kernel backend."""
+                      cfg: RenderConfig, ifrom: V3, iray: V3, seed, sec,
+                      page0=0):
+    """Drop-in trace_wave with the Mosaic kernel backend.  All rays
+    start in page `page0` (paged worlds)."""
     assert meta.n_spheres <= NSPH_MAX, (
         f"pallas path supports <= {NSPH_MAX} spheres, got "
         f"{meta.n_spheres}")
     tables = build_tables(world, meta, _rows(cfg.parity))
     n = ifrom.x.shape[0]
     return _trace_pallas(tables, cfg, meta.n_spheres, n, meta.lh,
-                         meta.has_clear,
+                         meta.has_clear, meta.n_pages, meta.sphere_page,
                          ifrom.x, ifrom.y, ifrom.z,
-                         iray.x, iray.y, iray.z, seed, sec)
+                         iray.x, iray.y, iray.z, seed, sec, page0)

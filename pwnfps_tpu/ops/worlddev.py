@@ -14,6 +14,14 @@ int32 word so a step costs a single gather:
   bits 19..25  pdcz   portal cells: cell delta z, biased +64
   bits 26..29  nsph   per-cell sphere-bucket count (rebuilt per frame)
 
+Paged worlds (ops beyond one 64x64 grid, e.g. the 1024-sector maze):
+all tables grow a leading page axis flattened in (page*4096 + cz*64 +
+cx); each ray carries its page and portals may jump pages via a target
+page stored in the nsph bits of the PORTAL cell (paged worlds therefore
+forbid sphere buckets on portal cells - build_world_paged raises).  A
+single-page world is the degenerate case and keeps the reference's
+semantics exactly (portal cells may hold buckets, nsph means count).
+
 Clearance (fast-mode empty-space skip): for a cell of class c in
 {FLOOR, FOG, LOWER, TALL, TALLFOG}, the largest k <= 15 such that every
 cell within Chebyshev distance k has the same class and no sphere
@@ -86,6 +94,11 @@ class WorldMeta:
     # compact byte is 0 == the chunked-gather miss value, so trimming is
     # bit-exact (tracer_pallas.build_tables).
     lh: int = 64
+    # pages in the world atlas (1 = the reference's single 64x64 grid)
+    n_pages: int = 1
+    # page of every sphere (paged worlds keep all spheres on one page;
+    # the hoisted candidate pass gates on it)
+    sphere_page: int = 0
 
 
 def _cls_to_refined(level: LevelData) -> np.ndarray:
@@ -251,3 +264,57 @@ def w_clear(w):
     """Clearance channel; valid only on non-portal cells (portal cells
     keep their biased pdcx in these bits — callers gate on cls)."""
     return (w >> 12) & 0xF
+
+
+def w_dpage(w):
+    """Portal target page (paged worlds): rides the nsph bits, valid
+    only on portal cells of a multi-page world (which may not hold
+    sphere buckets - enforced by build_world_paged)."""
+    return (w >> 26) & 0xF
+
+
+def build_world_paged(static_words: np.ndarray, spheres: SphereSet,
+                      sphere_page: int, tables: SseTables
+                      ) -> tuple[WorldDev, WorldMeta]:
+    """Assemble a multi-page world atlas.
+
+    static_words: [P, 4096] int32 packed channel words per page; portal
+    cells carry their target page in bits 26..29 (w_dpage).  spheres:
+    page-local SphereSet whose buckets live on `sphere_page`."""
+    P = static_words.shape[0]
+    assert 1 <= P <= 16, P
+    words = static_words.astype(np.int32).reshape(P, 4096).copy()
+    counts = spheres.counts.reshape(-1).astype(np.int32)
+    k_needed = int(counts.max()) if counts.size else 0
+    if P > 1:
+        is_portal = (words & 0xF) == PORTAL
+        if (counts[is_portal[sphere_page]] > 0).any():
+            raise ValueError(
+                "paged worlds cannot hold sphere buckets on portal "
+                "cells (their nsph bits carry the target page)")
+    for p in range(P):
+        clear = clearance_static(words[p]).reshape(-1)
+        words[p] |= clear << 12
+    words[sphere_page] |= counts << 26
+    buckets = np.full((P * 4096, spheres.buckets.shape[-1]), -1,
+                      np.int32)
+    buckets[sphere_page * 4096:(sphere_page + 1) * 4096] = \
+        spheres.buckets.reshape(4096, -1)
+    n = int(np.count_nonzero(spheres.r))
+    if spheres.buckets.size:
+        n = max(n, int(spheres.buckets.max()) + 1)
+    dev = WorldDev(
+        word=words.reshape(-1),
+        buckets=buckets.reshape(-1),
+        sph_pos=spheres.pos.astype(np.float32),
+        sph_r=spheres.r.astype(np.float32),
+        sph_refl=spheres.refl.astype(np.float32),
+        sph_col=spheres.col.astype(np.float32),
+        rsqrt_tab=tables.rsqrt,
+        rcp_tab=tables.rcp,
+    )
+    has_clear = bool(((words >> 12) & 0xF)[(words & 0xF) != PORTAL]
+                     .any())
+    return dev, WorldMeta(k_bucket=k_needed, n_spheres=max(n, 0),
+                          lh=64, n_pages=P, sphere_page=sphere_page,
+                          has_clear=has_clear)

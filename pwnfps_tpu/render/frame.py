@@ -109,10 +109,14 @@ def _trace_cols(world, meta, cfg, ifrom, rays, seeds, sec, h, w):
         ifrom_t = V3(t(ifrom.x, 1.0), t(ifrom.y, 0.5), t(ifrom.z, 1.0))
         rays_t = V3(t(rays.x, 0.5), t(rays.y, -0.5), t(rays.z, 0.5))
         col4, dist = trace_wave_pallas(world, meta, cfg, ifrom_t, rays_t,
-                                       t(seeds, 1), sec)
+                                       t(seeds, 1), sec,
+                                       page0=cfg.cam_page)
         return (C4(*(_untile(c, h, w, bh, bw) for c in col4)),
                 _untile(dist, h, w, bh, bw))
-    col4, dist = trace_wave(world, meta, cfg, ifrom, rays, seeds, sec)
+    page = (jnp.full_like(seeds, cfg.cam_page).astype(jnp.int32)
+            if meta.n_pages > 1 else None)
+    col4, dist = trace_wave(world, meta, cfg, ifrom, rays, seeds, sec,
+                            page)
     return (C4(*(c.reshape(h, w) for c in col4)), dist.reshape(h, w))
 
 
