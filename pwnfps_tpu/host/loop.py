@@ -112,6 +112,9 @@ def main(argv=None) -> int:
     p.add_argument("--keys", default="",
                    help="timeline like '0:forward,30:turnleft' "
                         "(frame:key toggles)")
+    p.add_argument("--window", action="store_true",
+                   help="live SDL2 window + keyboard (needs libSDL2 "
+                        "and a display; reference main.c:386-403)")
     p.add_argument("--parity", action="store_true")
     p.add_argument("--backend", default="jnp", choices=["jnp", "pallas"])
     p.add_argument("--profile", default=None, metavar="DIR",
@@ -140,25 +143,47 @@ def main(argv=None) -> int:
             toggles.setdefault(int(fr), []).append(name)
     keys = Keys()
 
+    win = None
+    if args.window:
+        from .window import Presenter
+        win = Presenter(args.width, args.height, args.scale)
+
     if args.out:
         os.makedirs(args.out, exist_ok=True)
     t0 = time.perf_counter()
-    for f in range(args.frames):
+    tlast = t0
+    f = 0
+    while f < args.frames or (win is not None and args.frames <= 0):
         for name in toggles.get(f, []):
             setattr(keys, name, not getattr(keys, name))
         fb, zb = sess.render()
+        if win is not None:
+            win.present(fb)
+            live, quit_ = win.poll()
+            if quit_:
+                break
+            # live keys override the scripted timeline (main.c:142-186)
+            keys = live
+            now = time.perf_counter()
+            frame_dt, tlast = now - tlast, now
+            win.set_title(f"pwnfps-tpu | {sess.fps:.1f} fps")
+        else:
+            frame_dt = args.dt
         if args.out:
             from PIL import Image
             img = fb_to_rgb(upscale(fb, args.scale))
             Image.fromarray(img).save(
                 os.path.join(args.out, f"frame_{f:04d}.png"))
-        sess.tick(args.dt, keys)
+        sess.tick(frame_dt if win is not None else args.dt, keys)
+        f += 1
     dt = time.perf_counter() - t0
+    if win is not None:
+        win.close()
     if profiler_ctx is not None:
         profiler_ctx.__exit__(None, None, None)
         print(f"profiler trace written to {args.profile}")
-    print(f"{args.frames} frames in {dt:.2f}s "
-          f"({args.frames / dt:.2f} fps) at {args.width}x{args.height}, "
+    print(f"{f} frames in {dt:.2f}s "
+          f"({f / max(dt, 1e-9):.2f} fps) at {args.width}x{args.height}, "
           f"player at {sess.player.cam[3, :3]}")
     return 0
 
