@@ -65,7 +65,8 @@ class CellFields(NamedTuple):
     xcls2: jnp.ndarray
     nsph: jnp.ndarray       # >0 iff the cell has sphere buckets
     cell_idx: jnp.ndarray   # clamped flat index (for bucket lookups)
-    clear: jnp.ndarray      # empty-space clearance (0 = step one cell)
+    runx: jnp.ndarray       # same-class run along x (empty-space skip)
+    runz: jnp.ndarray       # same-class run along z
 
 
 class Env(NamedTuple):
@@ -99,10 +100,12 @@ def xcls_compress(xcls):
 
 def decode_word(w, cell_idx) -> CellFields:
     cls = W.w_cls(w)
-    # portal cells keep their biased pdcx in the clearance bits
-    clear = jnp.where(cls == W.PORTAL, 0, W.w_clear(w))
+    # portal cells keep their biased pdcx/pdcz in the run bits
+    not_p = cls != W.PORTAL
     return CellFields(cls=cls, xcls2=xcls_compress(W.w_xcls(w)),
-                      nsph=W.w_nsph(w), cell_idx=cell_idx, clear=clear)
+                      nsph=W.w_nsph(w), cell_idx=cell_idx,
+                      runx=jnp.where(not_p, W.w_runx(w), 0),
+                      runz=jnp.where(not_p, W.w_runz(w), 0))
 
 
 def decode_portal_word(w):
@@ -464,21 +467,29 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig,
     ray_y2 = jnp.where(is_ramp, ray.y + tilt, ray.y)
     ray2 = V3(ray.x, ray_y2, ray.z)
 
-    # ---- empty-space skip (fast mode): a lane whose cell has clearance
-    # c>0 sits in a (2c+1)^2 box of same-class, sphere-free cells, so its
-    # next X/Z crossing may be the (c+1)-th one - interior cells have no
-    # observable semantics (uniform fog rate, no transitions, no buckets).
-    # Implemented by pushing the effective X/Z crossing times out by
-    # c*iavel; the Y-plane hit check below stays as-is and fires first
-    # whenever the floor/ceiling is hit inside the box.
+    # ---- empty-space skip (fast mode): a ray may take its next
+    # X-crossing up to runx+1 cells out - the swept strip is same-class
+    # (uniform fog rate, no transitions; spheres are hoisted) - PROVIDED
+    # no Z-crossing intervenes.  kx budgets that with the crossing
+    # clocks themselves ((wz-wx)*|ray.x|, |ray| is unit), and the
+    # min-axis comparison below stays authoritative: if the effective
+    # time still loses to wz, the lane takes a plain Z step and its
+    # untouched X clock fires next step (possibly at ~0), so nothing is
+    # ever skipped unsoundly.  Y-plane hits inside the strip terminate
+    # through the ordinary path.  Symmetric for Z.
     use_skip = cfg.space_skip and not cfg.parity and env.skip_ok
     wx, wy0, wz = wdist.x, wdist.y, wdist.z
     if use_skip:
-        ck = f.clear
-        can_skip = ck > 0
-        ckf = ck.astype(F32)
-        wx = jnp.where(can_skip, wx + ckf * iavel.x, wx)
-        wz = jnp.where(can_skip, wz + ckf * iavel.z, wz)
+        ax = jnp.abs(ray.x)
+        az = jnp.abs(ray.z)
+        jx = jnp.floor((wz - wx) * ax).astype(I32)
+        jz = jnp.floor((wx - wz) * az).astype(I32)
+        kx = jnp.clip(jnp.minimum(f.runx, jx), 0, 15)
+        kz = jnp.clip(jnp.minimum(f.runz, jz), 0, 15)
+        wxe = wx + kx.astype(F32) * iavel.x
+        wze = wz + kz.astype(F32) * iavel.z
+    else:
+        wxe, wze = wx, wz
 
     # ---- per-class effective wdist.y -------------------------------------
     wy_tall = jnp.where(gy > 0, wy0 + iavel.y, wy0)
@@ -499,10 +510,10 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig,
     a = a & ~m_presph
 
     # ---- through: min-axis crossing (trace.h:156-184) ----------------------
-    ymin = (wy < wx) & (wy < wz)
-    xmin = ~ymin & (wx < wz)
+    ymin = (wy < wxe) & (wy < wze)
+    xmin = ~ymin & (wxe < wze)
     zmin = ~ymin & ~xmin
-    t = jnp.where(ymin, wy, jnp.where(xmin, wx, wz))
+    t = jnp.where(ymin, wy, jnp.where(xmin, wxe, wze))
     gsel = jnp.where(is_ramp, gy, gx)  # reference passes gy as gx on ramps
     ldir_t = jnp.where(
         ymin, jnp.where(gy < 0, FYN, FYP),
@@ -536,38 +547,20 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig,
     xstep = cont & xmin
     zstep = cont & zmin
     stepped = xstep | zstep
-    sub = jnp.where(xstep, wx, jnp.where(zstep, wz, F32(0.0)))
+    sub = jnp.where(xstep, wxe, jnp.where(zstep, wze, F32(0.0)))
+    # the untaken axis keeps its ORIGINAL crossing clock (a skip on one
+    # axis must not advance the other's)
     wnx = jnp.where(xstep, iavel.x, wx - sub)
     wny = wy - sub
     wnz = jnp.where(zstep, iavel.z, wz - sub)
     # tall: restore the ceiling-shift (trace.h:392)
     wny = jnp.where(stepped & is_tall & (gy > 0), wny - iavel.y, wny)
-    cx2 = s.cx + jnp.where(xstep, gx, 0)
-    cz2 = s.cz + jnp.where(zstep, gz, 0)
     if use_skip:
-        # multi-cell advance on the exit axis; the transverse cell and
-        # its wdist are recomputed from the landed position (clipped to
-        # the box, so a boundary-exact landing resolves to a safe cell)
-        sk_x = can_skip & xstep
-        sk_z = can_skip & zstep
-        cx2 = jnp.where(sk_x, s.cx + gx * (ck + 1), cx2)
-        cz2 = jnp.where(sk_z, s.cz + gz * (ck + 1), cz2)
-        tz = jnp.clip(pos2.z.astype(I32), s.cz - ck, s.cz + ck)
-        tx = jnp.clip(pos2.x.astype(I32), s.cx - ck, s.cx + ck)
-        cz2 = jnp.where(sk_x, tz, cz2)
-        cx2 = jnp.where(sk_z, tx, cx2)
-        wnz = jnp.where(
-            sk_x,
-            jnp.where(ray.z >= 0.0,
-                      F32(1.0) - (pos2.z - tz.astype(F32)),
-                      pos2.z - tz.astype(F32)) * iavel.z,
-            wnz)
-        wnx = jnp.where(
-            sk_z,
-            jnp.where(ray.x >= 0.0,
-                      F32(1.0) - (pos2.x - tx.astype(F32)),
-                      pos2.x - tx.astype(F32)) * iavel.x,
-            wnx)
+        cx2 = s.cx + jnp.where(xstep, gx * (1 + kx), 0)
+        cz2 = s.cz + jnp.where(zstep, gz * (1 + kz), 0)
+    else:
+        cx2 = s.cx + jnp.where(xstep, gx, 0)
+        cz2 = s.cz + jnp.where(zstep, gz, 0)
 
     # ramp: recompute ldir from tilted ray, untilt, recompute wdist.y
     ldir3 = jnp.where(

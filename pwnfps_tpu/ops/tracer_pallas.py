@@ -104,13 +104,14 @@ def build_tables(world: W.WorldDev, meta: W.WorldMeta,
         return jnp.repeat(ch, ROWS, axis=0)
 
     # compact common-path entry (16 bits, 2 cells per int32):
-    # cls(4) | xcls2(2) | has_sph(1) | clear(4)
+    # cls(4) | xcls2(2) | has_sph(1) | runx(4) | runz(4)
     w = world.word[:ncell]
     cls = W.w_cls(w)
-    clear = jnp.where(cls == W.PORTAL, 0, W.w_clear(w))
+    not_p = cls != W.PORTAL
     cent = (cls | (xcls_compress(W.w_xcls(w)) << 4)
             | (jnp.where(W.w_nsph(w) > 0, 1, 0) << 6)
-            | (clear << 7))
+            | (jnp.where(not_p, W.w_runx(w), 0) << 7)
+            | (jnp.where(not_p, W.w_runz(w), 0) << 11))
     if paged:
         # portal cells of a paged world repurpose the nsph bits as the
         # target page, so their has_sph compact bit must stay clear
@@ -197,10 +198,10 @@ def _compact_fetch(cword_ref, cx, cz, rows, chunks, page=None,
                                      chunks * n_pages)
     else:
         word = _chunked_gather(cword_ref, idx >> 1, rows, chunks=chunks)
-    ent = (word >> ((idx & 1) * 16)) & 0x7FF
+    ent = (word >> ((idx & 1) * 16)) & 0x7FFF
     return CellFields(cls=ent & 0xF, xcls2=(ent >> 4) & 3,
                       nsph=(ent >> 6) & 1, cell_idx=idx,
-                      clear=(ent >> 7) & 0xF)
+                      runx=(ent >> 7) & 0xF, runz=(ent >> 11) & 0xF)
 
 
 def _randfs_i32(s):

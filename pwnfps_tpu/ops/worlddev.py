@@ -10,7 +10,8 @@ int32 word so a step costs a single gather:
   bits  6..7   prot   portal quarter-turns to apply
   bits  8..11  xcls   behind-cell class for the 2-high wall check
   bits 12..18  pdcx   portal cells: cell delta x, biased +64;
-               12..15 non-portal cells: empty-space clearance (see below)
+               12..19 non-portal cells: same-class run lengths
+                      (run_x | run_z << 4, the empty-space skip)
   bits 19..25  pdcz   portal cells: cell delta z, biased +64
   bits 26..29  nsph   per-cell sphere-bucket count (rebuilt per frame)
 
@@ -22,14 +23,14 @@ forbid sphere buckets on portal cells - build_world_paged raises).  A
 single-page world is the degenerate case and keeps the reference's
 semantics exactly (portal cells may hold buckets, nsph means count).
 
-Clearance (fast-mode empty-space skip): for a cell of class c in
-{FLOOR, FOG, LOWER, TALL, TALLFOG}, the largest k <= 15 such that every
-cell within Chebyshev distance k has the same class and no sphere
-buckets this frame.  A ray standing in such a cell may take one DDA
-step that crosses k+1 cell boundaries on its exit axis - all skipped
-interior cells are class-uniform and sphere-free, so no per-cell
-semantics (transitions, fog rate changes, bucket tests) are lost.  The
-reference walks these runs one cell at a time (trace.h:247-250).
+Run lengths (fast-mode empty-space skip): for a cell of class c in
+{FLOOR, FOG, LOWER, TALL, TALLFOG}, run_a <= 15 counts the same-class
+neighbours on BOTH sides along axis a; a ray may take its next a-axis
+crossing up to run_a+1 cells out when no transverse crossing intervenes
+(clearance_static).  Skipped interior cells are class-uniform, so no
+per-cell semantics (transitions, fog rate changes) are lost - sphere
+candidates are hoisted out of the loop separately.  The reference
+walks these runs one cell at a time (trace.h:247-250).
 
 Classes here refine world.cells with per-ramp-direction ids (the tilt
 coefficient is derived from the class in-kernel):
@@ -145,37 +146,52 @@ _ELIG = (FLOOR, FOG, LOWER, TALL, TALLFOG)
 CLEAR_MAX = 15
 
 
-def _cheb_dt(blocked: np.ndarray) -> np.ndarray:
-    """Chebyshev distance to the nearest blocked cell (cells beyond the
-    64x64 grid count as blocked, preserving the OOB-clamp semantics)."""
-    d = np.where(blocked, 0, np.int32(CLEAR_MAX + 2))
-    for _ in range(CLEAR_MAX + 1):
-        p = np.pad(d, 1, constant_values=0)
-        m = d
-        for dz in range(3):
-            for dx in range(3):
-                m = np.minimum(m, p[dz:dz + 64, dx:dx + 64] + 1)
-        nd = np.where(blocked, 0, np.minimum(d, m))
-        if np.array_equal(nd, d):
-            break
-        d = nd
-    return d
+def _sym_runs(same: np.ndarray, axis: int) -> np.ndarray:
+    """Per cell: min(#same-class neighbours left, right) along `axis`
+    (cells beyond the grid count as different)."""
+    n = same.shape[axis]
+    fwd = np.zeros_like(same, np.int32)
+    bwd = np.zeros_like(same, np.int32)
+    sl = [slice(None)] * same.ndim
+
+    def at(i):
+        sl2 = list(sl)
+        sl2[axis] = i
+        return tuple(sl2)
+
+    for i in range(1, n):
+        fwd[at(i)] = np.where(same[at(i)] & same[at(i - 1)],
+                              fwd[at(i - 1)] + 1, 0)
+    for i in range(n - 2, -1, -1):
+        bwd[at(i)] = np.where(same[at(i)] & same[at(i + 1)],
+                              bwd[at(i + 1)] + 1, 0)
+    return np.minimum(fwd, bwd)
 
 
 def clearance_static(static_word: np.ndarray) -> np.ndarray:
-    """[64,64] per-cell clearance ignoring spheres (level geometry only)."""
+    """[64,64] per-cell same-class run lengths: run_x | run_z << 4.
+
+    run_a = r means the 2r+1 cells centred here along axis `a` share
+    this cell's class, so a ray may take its next crossing on that axis
+    up to r+1 cells out, provided no transverse crossing intervenes -
+    the strip it sweeps has no observable per-cell semantics (uniform
+    fog rate, no transitions, no portals; sphere candidates are hoisted
+    out of the loop entirely).  See segment_body's empty-space skip."""
     cls = (static_word.reshape(64, 64) & 0xF).astype(np.int32)
-    clear = np.zeros((64, 64), np.int32)
+    rx = np.zeros((64, 64), np.int32)
+    rz = np.zeros((64, 64), np.int32)
     for c in _ELIG:
         same = cls == c
         if not same.any():
             continue
-        d = _cheb_dt(~same)
-        clear = np.where(same, d - 1, clear)
-    return np.clip(clear, 0, CLEAR_MAX)
+        rx = np.where(same, _sym_runs(same, 1), rx)
+        rz = np.where(same, _sym_runs(same, 0), rz)
+    rx = np.clip(rx, 0, CLEAR_MAX)
+    rz = np.clip(rz, 0, CLEAR_MAX)
+    return rx | (rz << 4)
 
 
-# memo: the static clearance is a pure function of the packed word and
+# memo: the static run field is a pure function of the packed word and
 # build_world runs per frame (counts change, geometry doesn't).  Sphere
 # buckets need NOT block skips: the fast path hoists sphere candidates
 # out of the DDA loop (tracer_core.make_sphere_all), so no per-cell
@@ -202,8 +218,8 @@ def build_world(level: LevelData, spheres: SphereSet, tables: SseTables,
         static_word = pack_static_word(level)
     counts = spheres.counts.reshape(-1).astype(np.int32)
     k_needed = int(counts.max()) if counts.size else 0
-    clear = _clearance_frame(static_word, counts).reshape(-1)
-    word = (static_word | (counts << 26) | (clear << 12)).astype(np.int32)
+    runs = _clearance_frame(static_word, counts).reshape(-1)
+    word = (static_word | (counts << 26) | (runs << 12)).astype(np.int32)
     n = int(np.count_nonzero(spheres.r))
     # number of live spheres: rely on r>0 for set entries; fall back to
     # max bucket index + 1 so zero-radius spheres still count
@@ -228,7 +244,7 @@ def build_world(level: LevelData, spheres: SphereSet, tables: SseTables,
                int(cnt_rows.max()) if cnt_rows.size else 0)
     lh = min(64, -(-(last + 1) // 8) * 8)
     return dev, WorldMeta(k_bucket=k_needed, n_spheres=max(n, 0), lh=lh,
-                          has_clear=bool(clear.any()))
+                          has_clear=bool(runs.any()))
 
 
 # word decode helpers (work on numpy or jnp int32 arrays)
@@ -260,10 +276,16 @@ def w_nsph(w):
     return (w >> 26) & 0xF
 
 
-def w_clear(w):
-    """Clearance channel; valid only on non-portal cells (portal cells
-    keep their biased pdcx in these bits — callers gate on cls)."""
+def w_runx(w):
+    """Same-class run along x; valid only on non-portal cells (portal
+    cells keep their biased pdcx in these bits — callers gate on cls)."""
     return (w >> 12) & 0xF
+
+
+def w_runz(w):
+    """Same-class run along z (non-portal cells; bits 16..19 overlay
+    the portal pdcx/pdcz area like w_runx)."""
+    return (w >> 16) & 0xF
 
 
 def w_dpage(w):
@@ -293,8 +315,7 @@ def build_world_paged(static_words: np.ndarray, spheres: SphereSet,
                 "paged worlds cannot hold sphere buckets on portal "
                 "cells (their nsph bits carry the target page)")
     for p in range(P):
-        clear = clearance_static(words[p]).reshape(-1)
-        words[p] |= clear << 12
+        words[p] |= clearance_static(words[p]).reshape(-1) << 12
     words[sphere_page] |= counts << 26
     buckets = np.full((P * 4096, spheres.buckets.shape[-1]), -1,
                       np.int32)
@@ -313,7 +334,7 @@ def build_world_paged(static_words: np.ndarray, spheres: SphereSet,
         rsqrt_tab=tables.rsqrt,
         rcp_tab=tables.rcp,
     )
-    has_clear = bool(((words >> 12) & 0xF)[(words & 0xF) != PORTAL]
+    has_clear = bool(((words >> 12) & 0xFF)[(words & 0xF) != PORTAL]
                      .any())
     return dev, WorldMeta(k_bucket=k_needed, n_spheres=max(n, 0),
                           lh=64, n_pages=P, sphere_page=sphere_page,

@@ -70,7 +70,22 @@ def test_frame_spawn_with_blur(setup):
 
 def test_frame_pinned_100_percent(setup):
     """Against the pinned-libm oracle the renderer is fully bit-exact:
-    every pixel and every depth bit (BASELINE config #1, achieved)."""
+    every pixel and every depth bit (BASELINE config #1, achieved).
+
+    NB the 100.0000%% branch is only ENFORCED where the XLA backend
+    does not FMA-contract f32 mul+add - i.e. on real TPU
+    (PWNFPS_TPU_TESTS=1 runs, benchmarks/configs.py parity, and the
+    per-round artifact benchmarks/results/r*_parity.json).  The CPU
+    CI backend contracts unconditionally (tests/fputil.py probes it;
+    every jaxlib 0.9.0 disable knob is inert), so CI exercises the
+    relaxed branch below and a strict-path regression would surface
+    only on chip: keep the on-chip parity config in the round loop."""
+    import os
+    if os.environ.get("PWNFPS_TPU_TESTS"):
+        from .fputil import fma_contracts
+        assert not fma_contracts(), \
+            "PWNFPS_TPU_TESTS=1 requires a non-contracting backend " \
+            "(run on TPU) for the strict 100% branch"
     lv, world, meta, sph8 = setup
     cam = mat4_identity()
     sx, sz = lv.spawn
