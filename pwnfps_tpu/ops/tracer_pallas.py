@@ -204,6 +204,21 @@ def _compact_fetch(cword_ref, cx, cz, rows, chunks, page=None,
                       runx=(ent >> 7) & 0xF, runz=(ent >> 11) & 0xF)
 
 
+def _pack_bgra_i32(col: C4):
+    """col_ftoint (util.h:48-59 semantics) on int32 lanes - bit-equal
+    to tracer_core.col_ftoint's uint32 result, Mosaic-friendly."""
+    def one(c, shift):
+        v = c * F32(255.0)
+        r = jax.lax.round(v, jax.lax.RoundingMethod.TO_NEAREST_EVEN)
+        bad = (v >= F32(2147483648.0)) | jnp.isnan(v)
+        b = jnp.clip(r, 0.0, 255.0).astype(jnp.int32)
+        b = jnp.where(bad, 0, b)
+        return b << shift
+
+    return one(col.b, 0) | one(col.g, 8) | one(col.r, 16) | one(col.a,
+                                                                24)
+
+
 def _randfs_i32(s):
     """Reference LCG on int32 lanes (bit-identical to the uint32 form)."""
     s = (s * 25739 + 4) & 0x7FFFFFFF
@@ -320,11 +335,10 @@ def _sphere_pass_pallas(mask_ref, sph_ref, n_spheres: int, math: Math,
 
 
 def _kernel(cfg: RenderConfig, n_spheres: int, lh: int, has_clear: bool,
-            n_pages: int, sphere_page: int,
+            n_pages: int, sphere_page: int, pack: bool,
             word_ref, cword_ref, mask_ref, sph_ref,
             rsqrt_ref, rcp_ref, sec_ref, page0_ref,
-            fx, fy, fz, rx, ry, rz, seed_ref,
-            ob, og, orr, oa, od):
+            fx, fy, fz, rx, ry, rz, seed_ref, *outs):
     rows = _rows(cfg.parity)
     paged = n_pages > 1
 
@@ -375,20 +389,26 @@ def _kernel(cfg: RenderConfig, n_spheres: int, lh: int, has_clear: bool,
             else None)
     col, dist = trace_wave_env(env, cfg, ifrom, iray, seed_ref[:],
                                sec_ref[0, 0], page)
-    ob[:] = col.b
-    og[:] = col.g
-    orr[:] = col.r
-    oa[:] = col.a
-    od[:] = dist
+    if pack:
+        ofb, od = outs
+        ofb[:] = _pack_bgra_i32(col)
+        od[:] = dist
+    else:
+        ob, og, orr, oa, od = outs
+        ob[:] = col.b
+        og[:] = col.g
+        orr[:] = col.r
+        oa[:] = col.a
+        od[:] = dist
 
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "n_spheres", "n_rays", "lh",
                                     "has_clear", "n_pages",
-                                    "sphere_page"))
+                                    "sphere_page", "pack"))
 def _trace_pallas(tables: PallasTables, cfg: RenderConfig,
                   n_spheres: int, n_rays: int, lh: int, has_clear: bool,
-                  n_pages: int, sphere_page: int,
+                  n_pages: int, sphere_page: int, pack: bool,
                   fx, fy, fz, rx, ry, rz, seeds, sec, page0):
     tile = PARITY_TILE if cfg.parity else TILE
     ROWS = tile // 128
@@ -426,12 +446,14 @@ def _trace_pallas(tables: PallasTables, cfg: RenderConfig,
                   smem, smem,
                   tile_spec, tile_spec, tile_spec,
                   tile_spec, tile_spec, tile_spec, tile_spec],
-        out_specs=[tile_spec] * 5,
+        out_specs=[tile_spec] * (2 if pack else 5),
     )
-    outs = [jax.ShapeDtypeStruct((tiles * ROWS, 128), jnp.float32)] * 5
+    f32s = jax.ShapeDtypeStruct((tiles * ROWS, 128), jnp.float32)
+    i32s = jax.ShapeDtypeStruct((tiles * ROWS, 128), jnp.int32)
+    outs = [i32s, f32s] if pack else [f32s] * 5
     kern = functools.partial(_kernel, cfg, n_spheres, lh, has_clear,
-                             n_pages, sphere_page)
-    ob, og, orr, oa, od = pl.pallas_call(
+                             n_pages, sphere_page, pack)
+    res = pl.pallas_call(
         kern, out_shape=outs, grid_spec=grid_spec,
     )(tables.word, tables.cword, tables.mask, tables.sph,
       tables.rsqrt, tables.rcp, sec2, page2,
@@ -440,14 +462,22 @@ def _trace_pallas(tables: PallasTables, cfg: RenderConfig,
     def unpad(a):
         return a.reshape(-1)[:n_rays]
 
+    if pack:
+        ofb, od = res
+        fb = jax.lax.bitcast_convert_type(unpad(ofb), jnp.uint32)
+        return fb, unpad(od)
+    ob, og, orr, oa, od = res
     return (C4(unpad(ob), unpad(og), unpad(orr), unpad(oa)), unpad(od))
 
 
 def trace_wave_pallas(world: W.WorldDev, meta: W.WorldMeta,
                       cfg: RenderConfig, ifrom: V3, iray: V3, seed, sec,
-                      page0=0):
+                      page0=0, pack=False):
     """Drop-in trace_wave with the Mosaic kernel backend.  All rays
-    start in page `page0` (paged worlds)."""
+    start in page `page0` (paged worlds).  pack=True quantizes to BGRA8
+    IN-KERNEL (bit-equal to tracer_core.col_ftoint) and returns
+    (fb uint32 [n], dist) instead of (C4, dist) - one XLA pass and
+    three framebuffer-sized HBM writes fewer."""
     assert meta.n_spheres <= NSPH_MAX, (
         f"pallas path supports <= {NSPH_MAX} spheres, got "
         f"{meta.n_spheres}")
@@ -455,5 +485,6 @@ def trace_wave_pallas(world: W.WorldDev, meta: W.WorldMeta,
     n = ifrom.x.shape[0]
     return _trace_pallas(tables, cfg, meta.n_spheres, n, meta.lh,
                          meta.has_clear, meta.n_pages, meta.sphere_page,
+                         pack,
                          ifrom.x, ifrom.y, ifrom.z,
                          iray.x, iray.y, iray.z, seed, sec, page0)

@@ -95,9 +95,10 @@ def _render_cams_jit(world, meta: W.WorldMeta, cfg: RenderConfig,
                      t(exp(cams[:, 3, 2]), 1.0))
         seeds_t = t(jnp.broadcast_to(seeds.reshape(1, h, w), (c, h, w)),
                     1)
-        col4, dist = trace_wave_pallas(world, meta, cfg, origins, rays,
-                                       seeds_t, sec)
-        fb = _untile_cams(col_ftoint(col4), c, h, w, bh, bw)
+        fbf, dist = trace_wave_pallas(world, meta, cfg, origins, rays,
+                                      seeds_t, sec,
+                                      page0=cfg.cam_page, pack=True)
+        fb = _untile_cams(fbf, c, h, w, bh, bw)
         zbuf = _untile_cams(dist, c, h, w, bh, bw)
     elif cfg.backend == "pallas":
         from ..ops.tracer_pallas import trace_wave_pallas
@@ -108,9 +109,10 @@ def _render_cams_jit(world, meta: W.WorldMeta, cfg: RenderConfig,
             jnp.repeat(cams[:, 3, 2], n))
         seeds_flat = jnp.broadcast_to(seeds.reshape(1, n),
                                       (c, n)).reshape(c * n)
-        col4, dist = trace_wave_pallas(world, meta, cfg, origins, rays,
-                                       seeds_flat, sec)
-        fb = col_ftoint(col4).reshape(n3)
+        fbf, dist = trace_wave_pallas(world, meta, cfg, origins, rays,
+                                      seeds_flat, sec,
+                                      page0=cfg.cam_page, pack=True)
+        fb = fbf.reshape(n3)
         zbuf = dist.reshape(n3)
     else:
         rays = V3(*(comp(i).reshape(c * n) for i in range(3)))

@@ -122,6 +122,17 @@ def _trace_cols(world, meta, cfg, ifrom, rays, seeds, sec, h, w):
 
 def _trace(world, meta, cfg, ifrom, rays, seeds, sec, h, w):
     """Backend dispatch; returns ([h,w] uint32 fb pre-blur, [h,w] zbuf)."""
+    if cfg.backend == "pallas":
+        # quantize in-kernel: same bits as col_ftoint, fewer HBM writes
+        from ..ops.tracer_pallas import trace_wave_pallas
+        bh, bw = _block_shape(cfg)
+        t = lambda a, fill: _tile_rays(a, h, w, bh, bw, fill)
+        ifrom_t = V3(t(ifrom.x, 1.0), t(ifrom.y, 0.5), t(ifrom.z, 1.0))
+        rays_t = V3(t(rays.x, 0.5), t(rays.y, -0.5), t(rays.z, 0.5))
+        fb, dist = trace_wave_pallas(world, meta, cfg, ifrom_t, rays_t,
+                                     t(seeds, 1), sec,
+                                     page0=cfg.cam_page, pack=True)
+        return (_untile(fb, h, w, bh, bw), _untile(dist, h, w, bh, bw))
     col4, dist = _trace_cols(world, meta, cfg, ifrom, rays, seeds, sec,
                              h, w)
     return col_ftoint(col4), dist
