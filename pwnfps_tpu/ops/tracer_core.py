@@ -279,22 +279,29 @@ def make_sphere_all(n_spheres: int, get_sphere, math: Math,
     def run(s: SegState, mask):
         bc, br = get_bound()
         zero = jnp.zeros_like(s.pos.x)
-        # XZ-PROJECTED line vs bounding circle: a superset of any 3D
-        # line-sphere hit (projection shrinks distances), and invariant
-        # under the y-shift/ramp line changes.  Doubles as (a) the
-        # whole-tile hoist-skip gate and (b) the per-lane relevance bit
-        # (sph_dirty bit 1): lanes with it clear can never register a
-        # sphere after a shift/ramp, so those events need not dirty
-        # them (segment_body).
+        # Per-lane relevance bit (sph_dirty bit 1): XZ-PROJECTED line
+        # vs the bounding circle - a superset of any 3D line-sphere hit
+        # (projection shrinks distances) that is INVARIANT under the
+        # y-shift/ramp line changes, so lanes with it clear never need
+        # re-derivation after those events (segment_body).
         rx = bc.x + zero - s.pos.x
         rz = bc.z + zero - s.pos.z
-        d2 = rx * rx + rz * rz
-        dt = rx * s.ray.x + rz * s.ray.z
+        d2xz = rx * rx + rz * rz
+        dtxz = rx * s.ray.x + rz * s.ray.z
         l2 = s.ray.x * s.ray.x + s.ray.z * s.ray.z
-        quick = (d2 - br * br) * l2 < dt * dt
+        rel = (d2xz - br * br) * l2 < dtxz * dtxz
         if sphere_page is not None:
-            quick = quick & (s.page == sphere_page)
-        rel_bit = jnp.where(quick, 2, 0).astype(s.sph_dirty.dtype)
+            rel = rel & (s.page == sphere_page)
+        rel_bit = jnp.where(rel, 2, 0).astype(s.sph_dirty.dtype)
+        # Whole-tile hoist gate: the DIRECTED 3D test - the undirected
+        # XZ form fires on a third of the screen (no y or heading
+        # constraint) and would run the full pass almost everywhere.
+        ry_ = bc.y + zero - s.pos.y
+        d2 = d2xz + ry_ * ry_
+        dt3 = dtxz + ry_ * s.ray.y
+        # any candidate sphere has dot_i > 0 at its AABB entry, and
+        # |dot_i - dt3| <= |c_i - bc| < br, so dt3 > -br is sound
+        quick = rel & (dt3 > -br) & (d2 - dt3 * dt3 < br * br)
         anyq = jnp.max(jnp.where(mask & (s.active != 0) & quick,
                                  1, 0)) > 0
         return jax.lax.cond(
