@@ -101,7 +101,7 @@ def main() -> int:
     # this environment's relay adds multi-ms dispatch jitter that a
     # single pass would average into the device number
     reps = int(os.environ.get("PWNFPS_BENCH_REPS", "3"))
-    best = float("inf")
+    times = []
     for _ in range(reps):
         t0 = time.perf_counter()
         done = 0
@@ -111,14 +111,18 @@ def main() -> int:
                 fb, zb = render_frame(world, meta, cfg, *a)
             np.asarray(probe(fb))
             done += len(batch)
-        best = min(best, time.perf_counter() - t0)
-    fps = frames / best
+        times.append(time.perf_counter() - t0)
+    fps = frames / min(times)
 
     print(json.dumps({
-        "metric": f"fps@1080p(trace+DoF,{depth}-deep pipeline)",
+        "metric": (f"fps@1080p(trace+DoF,{depth}-deep pipeline,"
+                   f"best-of-{reps})"),
         "value": round(fps, 2),
         "unit": "frames/sec",
         "vs_baseline": round(fps / 240.0, 4),
+        "reps": reps,
+        "frames_per_rep": frames,
+        "rep_fps": [round(frames / t, 2) for t in times],
     }))
     return 0
 

@@ -75,8 +75,11 @@ class RenderConfig:
     # cell like the reference): a ray's next crossing on an axis may be
     # up to run+1 cells out through a same-class run when no transverse
     # crossing intervenes (see ops/worlddev.py and segment_body).
-    # Measured pixel-exact vs single-cell stepping on the default
-    # level; ignored when parity=True.
+    # Sound for every lane because sphere candidates never live in
+    # cells on the fast path: they are hoisted per ray line and
+    # re-derived on line-change events (tracer_core.make_sphere_all);
+    # guarded by the skip-vs-no-skip differentials in
+    # tests/test_space_skip.py.  Ignored when parity=True.
     space_skip: bool = True
     # record the per-ray DDA step count at termination (SegOut.tstep).
     # Telemetry only; costs two vector ops per step, so off by default.
@@ -84,13 +87,6 @@ class RenderConfig:
     # page the camera stands in (multi-page world atlases; see
     # ops/worlddev.py "Paged worlds")
     cam_page: int = 0
-    # two-tier stepping: when every active ray in a tile is in a plain
-    # floor/tall/wall cell with no pending sphere hit, run the lean
-    # common-case body (~1/3 the ops) instead of the full one.  Within
-    # measurement noise on the sphere-heavy default scene (the tile-
-    # uniform predicate rarely holds at 8k-ray tiles); wins on sparse
-    # scenes. Off by default to keep compiles fast.
-    lean_step: bool = False
 
     @property
     def n_waves(self) -> int:

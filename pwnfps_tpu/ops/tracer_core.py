@@ -194,21 +194,42 @@ def make_sphere_all(n_spheres: int, get_sphere, math: Math,
     reference's temporal entered-set evolution.  Residual deviation from
     the cell-driven scan: sub-step timing (entry at exact slab time vs
     the start-of-step test), ~1 DDA step - fast mode only; parity mode
-    keeps the exact scan, and lanes whose line changes mid-segment
-    (portal/y-shift/ramp) switch to it too via sph_dirty.
+    keeps the exact scan.
+
+    Line-change events (portal rotation, '"'<->'#/&' y-shift, ramp
+    crossings) re-run this pass for the affected lanes with merge=True:
+    an already-ENTERED pending candidate persists exactly as the
+    reference's aux does (it competes as a pre-entered candidate with
+    its recorded fire value), un-entered ones were dropped at the event,
+    and candidates of the NEW line are derived from the current
+    position on - the exact analogue of the reference resuming its
+    cell-driven scan in the new frame (trace.h:252-296 after :649).
+    This keeps the empty-space skip sound for every lane: no per-cell
+    sphere semantics exist anywhere on the fast path.
 
     get_sphere(si) -> (V3 centre, r, refl, (b, g, r)) scalars;
     get_bound() -> (V3 centre, radius) of a sphere bounding ALL scene
     spheres: tiles whose lanes' lines all miss it skip the full pass
     (one cheap per-lane test + one reduction per segment)."""
 
-    def run_full(s: SegState, mask):
-        # only called on a fresh segment state (aux_dist == -1 per lane)
+    def run_full(s: SegState, mask, merge=False):
+        # merge=False: fresh segment state (aux_dist == -1 per lane).
+        # merge=True (event refresh): a pending ENTERED candidate seeds
+        # the scan with its recorded fire value, so it persists unless a
+        # new-line candidate fires strictly earlier - the reference's
+        # replace-iff-strictly-closer registration rule.
         aux_dist, aux_refl = s.aux_dist, s.aux_refl
         zero = jnp.zeros_like(s.pos.x)
-        fire = zero + F32(_FIRE_NONE)
-        best_aux = zero + F32(_FIRE_NONE)
-        w_t0 = zero
+        if merge:
+            pend = aux_dist != F32(-1.0)
+            fire = jnp.where(pend, jnp.maximum(aux_dist, s.aux_t0),
+                             F32(_FIRE_NONE) + zero)
+            best_aux = jnp.where(pend, aux_dist, F32(_FIRE_NONE))
+            w_t0 = jnp.where(pend, s.aux_t0, zero)
+        else:
+            fire = zero + F32(_FIRE_NONE)
+            best_aux = zero + F32(_FIRE_NONE)
+            w_t0 = zero
         new = zero > F32(1.0)
         w_sd = zero
         w_pos = V3(zero, zero, zero)
@@ -271,12 +292,12 @@ def make_sphere_all(n_spheres: int, get_sphere, math: Math,
                 jnp.where(new, w_t0, s.aux_t0))
 
     if get_bound is None:
-        def run_nobound(s: SegState, mask):
+        def run_nobound(s: SegState, mask, merge=False):
             one = jnp.ones_like(s.sph_dirty)
-            return run_full(s, mask) + (one * 2,)
+            return run_full(s, mask, merge) + (one * 2,)
         return run_nobound
 
-    def run(s: SegState, mask):
+    def run(s: SegState, mask, merge=False):
         bc, br = get_bound()
         zero = jnp.zeros_like(s.pos.x)
         # Per-lane relevance bit (sph_dirty bit 1): XZ-PROJECTED line
@@ -305,7 +326,7 @@ def make_sphere_all(n_spheres: int, get_sphere, math: Math,
         anyq = jnp.max(jnp.where(mask & (s.active != 0) & quick,
                                  1, 0)) > 0
         return jax.lax.cond(
-            anyq, lambda op: run_full(*op),
+            anyq, lambda op: run_full(op[0], op[1], merge),
             lambda op: (op[0].aux_dist, op[0].aux_refl, op[0].aux_pos,
                         op[0].aux_norm, op[0].aux_col, op[0].aux_t0),
             (s, mask)) + (rel_bit,)
@@ -396,11 +417,15 @@ def compute_flags(s: SegState, env: Env) -> jnp.ndarray:
     act = s.active != 0
     f = s.fields
     v = jnp.where(act, 1, 0)
-    if env.sphere_pass is not None:
+    if env.sphere_all is not None:
+        # fast mode: bit1 = some lane's hoisted candidates need
+        # re-deriving after a line-change event (portal/y-shift/ramp)
+        trig = act & ((s.sph_dirty & 1) != 0)
+        v = v | jnp.where(trig, 2, 0)
+    elif env.sphere_pass is not None:
+        # parity mode: bit1 = some lane stands in a bucketed cell
         inb = (s.cx >= 0) & (s.cx < 64) & (s.cz >= 0) & (s.cz < 64)
         trig = act & inb & (f.nsph > 0)
-        if env.sphere_all is not None:
-            trig = trig & ((s.sph_dirty & 1) != 0)
         v = v | jnp.where(trig, 2, 0)
     v = v | jnp.where(act & (f.cls == W.PORTAL), 4, 0)
     return jnp.max(v & 3) | jnp.where(jnp.max(v) >= 4, 4, 0)
@@ -416,13 +441,31 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig,
     inb = (s.cx >= 0) & (s.cx < 64) & (s.cz >= 0) & (s.cz < 64)
     cls = f.cls
 
-    if env.sphere_pass is not None and env.sphere_all is None:
+    if env.sphere_all is not None:
+        # fast path: hoisted candidates (run_segment) cover lanes still
+        # on their last-derived line; lanes that left it (sph_dirty bit
+        # 0, set on portal/y-shift/ramp events) re-derive candidates on
+        # the new line here, merging with any still-pending ENTERED
+        # candidate (reference aux persistence across such events).
+        # The cond yields ONLY the aux fields: Mosaic materializes
+        # every yielded lane, so returning the whole SegState here
+        # costs more than the sphere math it skips.
+        refresh = (s.sph_dirty & 1) != 0
+        aux = jax.lax.cond(
+            (flags & 2) > 0,
+            lambda op: env.sphere_all(op[0], op[1], merge=True),
+            lambda op: (op[0].aux_dist, op[0].aux_refl, op[0].aux_pos,
+                        op[0].aux_norm, op[0].aux_col, op[0].aux_t0,
+                        op[0].sph_dirty),
+            (s, refresh))
+        s = s._replace(aux_dist=aux[0], aux_refl=aux[1], aux_pos=aux[2],
+                       aux_norm=aux[3], aux_col=aux[4], aux_t0=aux[5],
+                       sph_dirty=jnp.where(refresh, aux[6],
+                                           s.sph_dirty))
+    elif env.sphere_pass is not None:
         # cell-driven bucket scan (parity path): skip the whole sphere
         # block unless some active ray stands in a bucketed cell
-        # (tile-uniform branch on the pallas path).  The cond yields
-        # ONLY the aux fields: Mosaic materializes every yielded lane,
-        # so returning the whole SegState here costs more than the
-        # sphere math it skips.
+        # (tile-uniform branch on the pallas path).
         aux = jax.lax.cond(
             (flags & 2) > 0,
             lambda op: env.sphere_pass(*op),
@@ -430,24 +473,6 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig,
                         op[0].aux_norm, op[0].aux_col),
             (s, inb, f))
         s = _apply_aux(s, aux)
-    elif env.sphere_pass is not None:
-        # fast path: hoisted candidates (run_segment) cover lanes still
-        # on their segment-start line; lanes that left it (sph_dirty)
-        # fall back to the exact cell-driven scan, gated on a dirty
-        # lane standing in a bucketed cell - rare, so the common step
-        # pays one reduction only.  Masking is by the `inb` argument,
-        # which the scan folds into its per-slot valid mask.
-        dirty = (s.sph_dirty & 1) != 0
-        aux = jax.lax.cond(
-            (flags & 2) > 0,
-            lambda op: env.sphere_pass(*op),
-            lambda op: (op[0].aux_dist, op[0].aux_refl, op[0].aux_pos,
-                        op[0].aux_norm, op[0].aux_col),
-            (s, inb & dirty, f))
-        changed = aux[0] != s.aux_dist
-        s = s._replace(aux_dist=aux[0], aux_refl=aux[1], aux_pos=aux[2],
-                       aux_norm=aux[3], aux_col=aux[4],
-                       aux_t0=jnp.where(changed, F32(-1.0), s.aux_t0))
 
     is_floorish = (cls == W.FLOOR) | (cls == W.FOG) | (cls == W.LOWER)
     is_tall = (cls == W.TALL) | (cls == W.TALLFOG)
@@ -784,12 +809,14 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig,
     # hoisted-sphere mode: candidates are a function of the ray LINE, so
     # any event that moves a lane off its line - portal rotation, the
     # '"'<->'#/&' y-shifts (tr1/tr2), or a ramp crossing (pos advanced
-    # along the tilted ray) - marks the lane dirty: from the next step
-    # on, it uses the exact cell-driven bucket scan (the reference's own
-    # semantics).  An already-ENTERED pending candidate persists exactly
-    # as the reference's aux does across such events; one whose AABB
-    # entry is still ahead was never registered by the reference and is
-    # dropped (it belonged to the abandoned line).
+    # along the tilted ray) - marks the lane dirty: the NEXT step's
+    # refresh cond re-derives its candidates on the new line (see the
+    # sphere block at the top of this function), exactly when the
+    # reference's next loop-top bucket test would run (trace.h:252
+    # after :649).  An already-ENTERED pending candidate persists
+    # exactly as the reference's aux does across such events; one whose
+    # AABB entry is still ahead was never registered by the reference
+    # and is dropped (it belonged to the abandoned line).
     if env.sphere_all is not None:
         # y-shift/ramp events only matter for lanes whose XZ line can
         # see a sphere (relevance bit, shift-invariant); a pending
@@ -812,116 +839,6 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig,
     return s
 
 
-
-
-def segment_body_lean(s: SegState, env: Env, cfg: RenderConfig
-                      ) -> SegState:
-    """Fast-path step: valid only when every active ray stands in a
-    plain FLOOR/'"'/TALL/wall cell with no fog, no ramps, no portals, no
-    sphere buckets and no pending sphere hit (checked tile-uniformly in
-    run_segment).  Semantically identical to segment_body under that
-    precondition; roughly a third of the vector ops."""
-    f = s.fields
-    cls = f.cls
-    act = s.active != 0
-    is_floorish = (cls == W.FLOOR) | (cls == W.LOWER)
-    is_tall = cls == W.TALL
-
-    pos, ray, wdist, iavel = s.pos, s.ray, s.wdist, s.iavel
-    gx, gy, gz = s.gx, s.gy, s.gz
-
-    # plain wall terminate (trace.h:651-664; no pending aux by pre-cond)
-    wallm = act & ~(is_floorish | is_tall)
-    s = _terminate(s, wallm, T_WALL, ldir=s.ldir,
-                   colid=jnp.where(s.ldir == FYP, C_CEIL, C_WALL),
-                   fog=s.fog, dist=s.cdist, pos=pos, ray=ray)
-    act = s.active != 0
-
-    wx, wy0, wz = wdist.x, wdist.y, wdist.z
-    wy = jnp.where(is_tall & (gy > 0), wy0 + iavel.y, wy0)
-
-    ymin = (wy < wx) & (wy < wz)
-    xmin = ~ymin & (wx < wz)
-    zmin = ~ymin & ~xmin
-    t = jnp.where(ymin, wy, jnp.where(xmin, wx, wz))
-    ldir2 = jnp.where(
-        ymin, jnp.where(gy < 0, FYN, FYP),
-        jnp.where(xmin, jnp.where(gx < 0, FXN, FXP),
-                  jnp.where(gz < 0, FZN, FZP)))
-    cdist2 = jnp.where(act, s.cdist + t, s.cdist)
-    pos2 = (pos + t * ray).where(act, pos)
-
-    y_hit = act & ((ldir2 == FYN) | (ldir2 == FYP))
-    s = _terminate(s, y_hit, T_WALL, ldir=ldir2,
-                   colid=jnp.where(gy > 0, C_CEIL, C_FLOOR),
-                   fog=s.fog, dist=cdist2, pos=pos2, ray=ray)
-    act = s.active != 0
-
-    xstep = act & xmin
-    zstep = act & zmin
-    stepped = xstep | zstep
-    sub = jnp.where(xstep, wx, jnp.where(zstep, wz, F32(0.0)))
-    wnx = jnp.where(xstep, iavel.x, wx - sub)
-    wny = wy - sub
-    wnz = jnp.where(zstep, iavel.z, wz - sub)
-    wny = jnp.where(stepped & is_tall & (gy > 0), wny - iavel.y, wny)
-    cx2 = s.cx + jnp.where(xstep, gx, 0)
-    cz2 = s.cz + jnp.where(zstep, gz, 0)
-
-    tgt_cx = jnp.where(stepped, cx2, s.cx)
-    tgt_cz = jnp.where(stepped, cz2, s.cz)
-    f_next = env.fetch(tgt_cx, tgt_cz, s.page)
-    ncls = f_next.cls
-    n_tall = (ncls == W.TALL) | (ncls == W.TALLFOG)
-    n_lower = ncls == W.LOWER
-
-    pos3y = pos2.y
-    tr1 = stepped & (cls == W.LOWER) & n_tall
-    pos3y = jnp.where(tr1, pos3y + F32(1.0), pos3y)
-    wny = jnp.where(tr1, jnp.where(gy < 0, wny + iavel.y,
-                                   wny - iavel.y), wny)
-    tr2 = stepped & is_tall & n_lower
-    pos3y = jnp.where(tr2, pos3y - F32(1.0), pos3y)
-    wny = jnp.where(tr2, jnp.where(gy > 0, wny + iavel.y,
-                                   wny - iavel.y), wny)
-
-    xc = f_next.xcls2
-    y_out = (pos3y < F32(0.0)) | (pos3y > F32(1.0))
-    chk = stepped & is_tall & y_out
-    xc_tall = xc == 1
-    xc_low = xc == 2
-    revert = chk & xc_low
-    pos3y = jnp.where(revert, pos3y + F32(1.0), pos3y)
-    wny = jnp.where(revert, jnp.where(gy > 0, wny - iavel.y,
-                                      wny + iavel.y), wny)
-    pos3 = V3(pos2.x, pos3y, pos2.z)
-    wall2 = chk & ~xc_tall
-    s = _terminate(s, wall2, T_WALL, ldir=ldir2, colid=C_WALL,
-                   fog=s.fog, dist=cdist2, pos=pos3, ray=ray)
-    act = s.active != 0
-
-    cont2 = act & stepped
-    s = s._replace(
-        pos=pos3.where(cont2, pos),
-        wdist=V3(wnx, wny, wnz).where(cont2, wdist),
-        fields=_sel_fields(cont2, f_next, f),
-        cx=jnp.where(cont2, cx2, s.cx),
-        cz=jnp.where(cont2, cz2, s.cz),
-        cdist=jnp.where(cont2, cdist2, s.cdist),
-        ldir=jnp.where(cont2, ldir2, s.ldir))
-    return s
-
-
-def _lean_ok(s: SegState) -> jnp.ndarray:
-    """Tile-uniform predicate: may this step use segment_body_lean?"""
-    f = s.fields
-    cls = f.cls
-    special = ((cls == W.FOG) | (cls == W.TALLFOG)
-               | ((cls >= W.RAMP_GT) & (cls <= W.RAMP_CR))
-               | (cls == W.PORTAL) | (f.nsph > 0)
-               | (s.aux_dist != F32(-1.0)))
-    blocked = jnp.where((s.active != 0) & special, 1, 0)
-    return jnp.max(blocked) == 0
 
 
 def run_segment(env: Env, cfg: RenderConfig, ifrom: V3, iray: V3,
@@ -947,13 +864,7 @@ def run_segment(env: Env, cfg: RenderConfig, ifrom: V3, iray: V3,
         for k in range(chunk):
             if cfg.profile:
                 prev = s.active
-            if cfg.lean_step:
-                s = jax.lax.cond(
-                    _lean_ok(s),
-                    lambda t: segment_body_lean(t, env, cfg),
-                    lambda t: segment_body(t, env, cfg, fl), s)
-            else:
-                s = segment_body(s, env, cfg, fl)
+            s = segment_body(s, env, cfg, fl)
             fl = compute_flags(s, env)
             if cfg.profile:
                 died = (prev != 0) & (s.active == 0)

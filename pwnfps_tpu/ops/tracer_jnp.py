@@ -108,10 +108,11 @@ def make_env(world: W.WorldDev, meta: W.WorldMeta,
         out = decode_portal_word(w)
         return out + (W.w_dpage(w),) if paged else out
 
-    # cell-driven bucket scan: every lane in parity mode, dirty lanes
-    # (post portal/y-shift/ramp) in fast mode
+    # cell-driven bucket scan: parity mode only.  The fast path covers
+    # every lane with hoisted candidates (re-derived on line-change
+    # events), so it carries no per-cell sphere machinery at all.
     sphere_pass = (_sphere_pass(world, meta, math)
-                   if meta.k_bucket > 0 else None)
+                   if cfg.parity and meta.k_bucket > 0 else None)
     if cfg.parity:
         sphere_all = None
     else:

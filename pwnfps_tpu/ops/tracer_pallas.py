@@ -55,7 +55,10 @@ import os as _os
 # so it caps the tile at 2048 rays to stay inside scoped VMEM.
 TILE = int(_os.environ.get("PWNFPS_PALLAS_TILE", "8192"))
 PARITY_TILE = min(TILE, 2048)
-NSPH_MAX = 15          # sphere-mask width (bucket capacity bound)
+NSPH_MAX = 16          # sphere capacity (matches the reference scene's
+                       # 14 + headroom); the bound row sits past it
+SPH_ROWS = 24          # sph table rows: 16 spheres + bound, sublane-8
+                       # aligned (the bound no longer costs a slot)
 
 
 def _rows(parity: bool) -> int:
@@ -66,7 +69,8 @@ class PallasTables(NamedTuple):
     word: jnp.ndarray    # [WC*ROWS,128] i32: full channel word, bcast
     cword: jnp.ndarray   # [CC*ROWS,128] i32: compact byte/cell (4/i32)
     mask: jnp.ndarray    # [WC*ROWS,128] i32: sphere membership bits
-    sph: jnp.ndarray     # [16, 8] f32: x,y,z,r,refl,cb,cg,cr
+                         # (parity mode only; [1,128] zeros in fast)
+    sph: jnp.ndarray     # [SPH_ROWS, 8] f32: x,y,z,r,refl,cb,cg,cr
     rsqrt: jnp.ndarray   # [64*ROWS,128] i32: SSE rsqrtps result bits
     rcp: jnp.ndarray     # [32*ROWS,128] i32: SSE rcpps result bits
 
@@ -80,7 +84,7 @@ def _cchunks(lh: int) -> int:
 
 
 def build_tables(world: W.WorldDev, meta: W.WorldMeta,
-                 rows: int) -> PallasTables:
+                 rows: int, parity: bool) -> PallasTables:
     """Per-frame device tables for the kernel (cheap jnp ops).
 
     Cell tables cover only the first meta.lh grid rows: rows beyond hold
@@ -103,6 +107,9 @@ def build_tables(world: W.WorldDev, meta: W.WorldMeta,
             return ch
         return jnp.repeat(ch, ROWS, axis=0)
 
+    def plain_chunks(flat):   # [P*4096] -> [chunks,128], unreplicated
+        return flat[:ncell].reshape(-1, 128)
+
     # compact common-path entry (16 bits, 2 cells per int32):
     # cls(4) | xcls2(2) | has_sph(1) | runx(4) | runz(4)
     w = world.word[:ncell]
@@ -123,23 +130,30 @@ def build_tables(world: W.WorldDev, meta: W.WorldMeta,
     if not paged:
         cword_b = jnp.repeat(cword_b, ROWS, axis=0)
 
-    K = world.buckets.shape[0] // (4096 * meta.n_pages)
-    b = world.buckets.reshape(4096 * meta.n_pages, K)[:ncell]
-    mask = jnp.zeros(ncell, jnp.int32)
-    for k in range(K):
-        si = b[:, k]
-        mask = mask | jnp.where(si >= 0, jnp.int32(1) << jnp.clip(si, 0, 30),
-                                0)
+    if parity:
+        # sphere-bucket membership bit-plane: only the cell-driven
+        # parity scan reads it (the fast path hoists all candidates)
+        K = world.buckets.shape[0] // (4096 * meta.n_pages)
+        b = world.buckets.reshape(4096 * meta.n_pages, K)[:ncell]
+        mask = jnp.zeros(ncell, jnp.int32)
+        for k in range(K):
+            si = b[:, k]
+            mask = mask | jnp.where(si >= 0,
+                                    jnp.int32(1) << jnp.clip(si, 0, 30),
+                                    0)
+        mask = bcast_chunks(mask)
+    else:
+        mask = jnp.zeros((1, 128), jnp.int32)
     ns = world.sph_pos.shape[0]
-    sph = jnp.zeros((16, 8), jnp.float32)
+    sph = jnp.zeros((SPH_ROWS, 8), jnp.float32)
     take = min(ns, NSPH_MAX)
     sph = sph.at[:take, 0:3].set(world.sph_pos[:take])
     sph = sph.at[:take, 3].set(world.sph_r[:take])
     sph = sph.at[:take, 4].set(world.sph_refl[:take])
     sph = sph.at[:take, 5:8].set(world.sph_col[:take])
     if meta.n_spheres > 0:
-        # row NSPH_MAX: bounding sphere of all scene spheres (centre +
-        # radius), the fast path's hoist-skip gate
+        # row NSPH_MAX (past the sphere slots): bounding sphere of all
+        # scene spheres (centre + radius), the fast hoist-skip gate
         c = world.sph_pos[:meta.n_spheres]
         lo = c.min(axis=0)
         hi = c.max(axis=0)
@@ -149,12 +163,19 @@ def build_tables(world: W.WorldDev, meta: W.WorldMeta,
         sph = sph.at[NSPH_MAX, 0:3].set(ctr)
         sph = sph.at[NSPH_MAX, 3].set(rad)
     def bcast_u32(flat, chunks):
+        # parity-only exact-math tables; fast mode ships [1,128] zeros
+        # so they cost no VMEM there
+        if not parity:
+            return jnp.zeros((1, 128), jnp.int32)
         return jnp.repeat(
             jax.lax.bitcast_convert_type(flat, jnp.int32)
             .reshape(chunks, 128), ROWS, axis=0)
 
-    return PallasTables(word=bcast_chunks(world.word), cword=cword_b,
-                        mask=bcast_chunks(mask), sph=sph,
+    # the full word table only feeds the rare, cond-gated portal fetch:
+    # keep it unreplicated ([chunks,128]) and broadcast on the fly -
+    # ROWS x smaller VMEM for one extra op per chunk on portal steps
+    return PallasTables(word=plain_chunks(world.word), cword=cword_b,
+                        mask=mask, sph=sph,
                         rsqrt=bcast_u32(world.rsqrt_tab, 64),
                         rcp=bcast_u32(world.rcp_tab, 32))
 
@@ -347,22 +368,22 @@ def _kernel(cfg: RenderConfig, n_spheres: int, lh: int, has_clear: bool,
                               page, n_pages)
 
     def fetch_portal(cell_idx):
+        # the word table is unreplicated (build_tables): broadcast each
+        # chunk row on the fly - this path is portal-cond-gated, rare
+        w = _chunked_gather_paged(word_ref, cell_idx,
+                                  _wchunks(lh) * n_pages)
         if paged:
-            w = _chunked_gather_paged(word_ref, cell_idx,
-                                      _wchunks(lh) * n_pages)
             return decode_portal_word(w) + (W.w_dpage(w),)
-        w = _chunked_gather(word_ref, cell_idx, rows,
-                            chunks=_wchunks(lh))
         return decode_portal_word(w)
 
     math = _parity_math(rsqrt_ref, rcp_ref, rows) if cfg.parity \
         else _fast_math()
-    # cell-driven bucket scan: every lane in parity mode, dirty lanes
-    # (post portal/y-shift/ramp) in fast mode
+    # cell-driven bucket scan: parity mode only (the fast path covers
+    # every lane with hoisted candidates, re-derived on line changes)
     sphere_pass = (_sphere_pass_pallas(mask_ref, sph_ref, n_spheres,
                                        math, rows, _wchunks(lh),
                                        n_pages)
-                   if n_spheres > 0 else None)
+                   if cfg.parity and n_spheres > 0 else None)
     if cfg.parity:
         sphere_all = None
     else:
@@ -436,13 +457,16 @@ def _trace_pallas(tables: PallasTables, cfg: RenderConfig,
     smem = pl.BlockSpec((1, 1), lambda i: (0, 0),
                         memory_space=pltpu.SMEM)
     wrep = 1 if paged else ROWS    # paged cell tables are unreplicated
+    mask_shape = ((_wchunks(lh) * n_pages * wrep, 128) if cfg.parity
+                  else (1, 128))
     grid_spec = pl.GridSpec(
         grid=(tiles,),
-        in_specs=[full((_wchunks(lh) * n_pages * wrep, 128)),
+        in_specs=[full((_wchunks(lh) * n_pages, 128)),
                   full((_cchunks(lh) * n_pages * wrep, 128)),
-                  full((_wchunks(lh) * n_pages * wrep, 128)),
-                  full((16, 8)),
-                  full((64 * ROWS, 128)), full((32 * ROWS, 128)),
+                  full(mask_shape),
+                  full((SPH_ROWS, 8)),
+                  full((64 * ROWS, 128) if cfg.parity else (1, 128)),
+                  full((32 * ROWS, 128) if cfg.parity else (1, 128)),
                   smem, smem,
                   tile_spec, tile_spec, tile_spec,
                   tile_spec, tile_spec, tile_spec, tile_spec],
@@ -481,7 +505,7 @@ def trace_wave_pallas(world: W.WorldDev, meta: W.WorldMeta,
     assert meta.n_spheres <= NSPH_MAX, (
         f"pallas path supports <= {NSPH_MAX} spheres, got "
         f"{meta.n_spheres}")
-    tables = build_tables(world, meta, _rows(cfg.parity))
+    tables = build_tables(world, meta, _rows(cfg.parity), cfg.parity)
     n = ifrom.x.shape[0]
     return _trace_pallas(tables, cfg, meta.n_spheres, n, meta.lh,
                          meta.has_clear, meta.n_pages, meta.sphere_page,

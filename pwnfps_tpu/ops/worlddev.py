@@ -193,14 +193,15 @@ def clearance_static(static_word: np.ndarray) -> np.ndarray:
 
 # memo: the static run field is a pure function of the packed word and
 # build_world runs per frame (counts change, geometry doesn't).  Sphere
-# buckets need NOT block skips: the fast path hoists sphere candidates
-# out of the DDA loop (tracer_core.make_sphere_all), so no per-cell
-# sphere semantics exist to skip over, and parity mode never skips.
+# buckets need NOT block skips: on the fast path NO lane ever relies on
+# per-cell sphere semantics - candidates are hoisted per ray line and
+# re-derived on line-change events (tracer_core.make_sphere_all /
+# segment_body's refresh cond) - and parity mode never skips.  Guarded
+# by tests/test_space_skip.py.
 _CLEAR_CACHE: dict[bytes, np.ndarray] = {}
 
 
-def _clearance_frame(static_word: np.ndarray,
-                     counts: np.ndarray) -> np.ndarray:
+def _clearance_frame(static_word: np.ndarray) -> np.ndarray:
     key = static_word.tobytes()
     base = _CLEAR_CACHE.get(key)
     if base is None:
@@ -218,7 +219,7 @@ def build_world(level: LevelData, spheres: SphereSet, tables: SseTables,
         static_word = pack_static_word(level)
     counts = spheres.counts.reshape(-1).astype(np.int32)
     k_needed = int(counts.max()) if counts.size else 0
-    runs = _clearance_frame(static_word, counts).reshape(-1)
+    runs = _clearance_frame(static_word).reshape(-1)
     word = (static_word | (counts << 26) | (runs << 12)).astype(np.int32)
     n = int(np.count_nonzero(spheres.r))
     # number of live spheres: rely on r>0 for set entries; fall back to

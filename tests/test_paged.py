@@ -142,5 +142,12 @@ def test_paged_jnp_pallas_differential(maze):
                                                backend="pallas",
                                                cam_page=sp), *args)
     fb_j, fb_p = np.asarray(fb_j), np.asarray(fb_p)
-    agree = (fb_j == fb_p).mean()
-    assert agree > 0.999, f"backends diverge: {agree}"
+    from .fputil import fma_contracts
+    if not fma_contracts():
+        # exact backend identity, like the single-page suites (the
+        # loose threshold below exists only for the XLA:CPU FMA case)
+        assert np.array_equal(fb_j, fb_p), (
+            f"backends diverge on {(fb_j != fb_p).sum()} pixels")
+    else:
+        agree = (fb_j == fb_p).mean()
+        assert agree > 0.999, f"backends diverge: {agree}"

@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Parameterized 1080p perf probe (TPU): sweep tracer knobs quickly.
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/perf_probe.py \
+           [--chunk N] [--frames N] [--depth N] [--reps N] [--noblur]
+           [--reflect N] [--width W --height H]
+(set PWNFPS_PALLAS_TILE before launch to change the Mosaic tile).
+Prints one JSON line per run; used for the sweeps in
+docs/PERFORMANCE.md - not a driver contract (that is bench.py).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--chunk", type=int, default=2)
+    ap.add_argument("--frames", type=int, default=16)
+    ap.add_argument("--depth", type=int, default=8)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--width", type=int, default=1920)
+    ap.add_argument("--height", type=int, default=1080)
+    ap.add_argument("--reflect", type=int, default=2)
+    ap.add_argument("--noblur", action="store_true")
+    ap.add_argument("--maxsteps", type=int, default=1000)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from pwnfps_tpu.core.approx import SseTables
+    from pwnfps_tpu.core.config import RenderConfig
+    from pwnfps_tpu.ops import worlddev as W
+    from pwnfps_tpu.render.camera import camera_vectors, mat4_identity, \
+        mat4_roty
+    from pwnfps_tpu.render.frame import render_frame
+    from pwnfps_tpu.world.levelc import load_level
+    from pwnfps_tpu.world.objects import ObjectPool
+
+    width, height = args.width, args.height
+    lv = load_level("/root/reference/level.txt")
+    opos = [(0.0, 0.0, 0.0, 0.3), (0.0, 0.3, 0.0, 0.1),
+            (0.3, 0.0, 0.0, 0.1), (0.0, 0.0, 0.3, 0.1),
+            (-0.3, 0.0, 0.0, 0.1), (0.0, 0.0, -0.3, 0.1),
+            (0.3, 0.0, 0.1, 0.03), (0.1, 0.0, 0.3, 0.03),
+            (-0.3, 0.0, 0.1, 0.03), (0.1, 0.0, -0.3, 0.03),
+            (0.3, 0.0, -0.1, 0.03), (-0.1, 0.0, 0.3, 0.03),
+            (-0.3, 0.0, -0.1, 0.03), (-0.1, 0.0, -0.3, 0.03)]
+    pool = ObjectPool()
+    for (x, y, z, r) in opos:
+        i = pool.obj_new()
+        pool.obj_set_sphere(i, r, 0.4, 9.5 + x, 0.3 + y, 5.5 + z,
+                            0.8, 0.7, 0.9)
+    sph = pool.prepare_render()
+    world, meta = W.build_world(lv, sph, SseTables.load())
+    world = jax.tree.map(jnp.asarray, world)
+    cfg = RenderConfig(width=width, height=height, parity=False,
+                       backend="pallas", step_chunk=args.chunk,
+                       maxsteps=args.maxsteps, reflect=args.reflect,
+                       postproc_blur=0 if args.noblur else 1)
+
+    cam = mat4_identity()
+    sx, sz = lv.spawn
+    cam[3, :3] = (sx + 0.5, 0.5, sz + 0.5)
+
+    def frame_args(k):
+        c = cam.copy()
+        mat4_roty(c, 0.07 * k)
+        origin, rayb, rdx, rdy = camera_vectors(c, width, height)
+        return (jnp.asarray(origin), jnp.asarray(rayb),
+                jnp.asarray(rdx), jnp.asarray(rdy),
+                np.float32(0.016 * k))
+
+    @jax.jit
+    def probe(fb):
+        return fb[0, 0] + fb[height // 2, width // 2] + fb[-1, -1]
+
+    t0 = time.perf_counter()
+    fb, zb = render_frame(world, meta, cfg, *frame_args(0))
+    np.asarray(probe(fb))
+    compile_s = time.perf_counter() - t0
+
+    fargs = [frame_args(k) for k in range(args.frames)]
+    best = float("inf")
+    for _ in range(args.reps):
+        t0 = time.perf_counter()
+        done = 0
+        while done < args.frames:
+            batch = fargs[done:done + args.depth]
+            for a in batch:
+                fb, zb = render_frame(world, meta, cfg, *a)
+            np.asarray(probe(fb))
+            done += len(batch)
+        best = min(best, time.perf_counter() - t0)
+    fps = args.frames / best
+    print(json.dumps({
+        "tile": os.environ.get("PWNFPS_PALLAS_TILE", "8192"),
+        "chunk": args.chunk, "blur": not args.noblur,
+        "reflect": args.reflect,
+        "res": f"{width}x{height}",
+        "ms_per_frame": round(1000 * best / args.frames, 2),
+        "fps": round(fps, 2), "compile_s": round(compile_s, 1),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
