@@ -1,15 +1,19 @@
 """Multi-chip scale-out: shard rays/cameras over a device mesh.
 
 The reference's only parallelism is OpenMP fork-join over scanline blocks
-(screen.h:63-67).  The TPU-native analogue: the ray batch axis is sharded
-over the ICI mesh with jax.sharding - each chip traces its slice of the
-pixel (or camera) batch against a replicated world.  XLA inserts the
-collectives (the while-loop all-done reduction becomes an AND across
-chips; the DoF gather all-gathers the small framebuffer).
+(screen.h:63-67).  The TPU-native analogue: the flat block-major ray
+batch is sharded over BOTH mesh axes - cameras over "cam" and each
+camera's pixel blocks over "px" - and the trace runs under shard_map,
+so every device marches its own ray slice with purely LOCAL while-loop
+reductions (no per-step collectives).  One camera's frame therefore
+spans n_px chips, the true analogue of the reference splitting one
+frame across cores.  The world is replicated (64KB).  After the trace,
+the framebuffer is reassembled per camera (XLA inserts the all-gather
+over px) for the DoF blur, whose gather taps reach arbitrary rows.
 
 Mesh axes:
   cam  - batched viewpoints (RL-style multi-camera rollouts, config #4)
-  px   - pixel tiles within a camera
+  px   - pixel blocks within one camera's frame
 """
 
 from __future__ import annotations
@@ -33,6 +37,55 @@ def make_mesh(n_cam: int, n_px: int, devices=None) -> Mesh:
     assert len(devices) == n_cam * n_px, (n_cam, n_px, len(devices))
     dev = np.asarray(devices).reshape(n_cam, n_px)
     return Mesh(dev, ("cam", "px"))
+
+
+def _trace_flat(meta: W.WorldMeta, cfg: RenderConfig, world,
+                fx, fy, fz, rx, ry, rz, seeds, sec):
+    """Trace a flat ray batch -> (fb uint32, zbuf f32), both flat.
+
+    Pure on its shard: runs per-device under shard_map, so the DDA
+    while-loop's reductions stay device-local (no per-step
+    collectives over ICI - each chip early-exits on its own rays,
+    mirroring the reference's independent scanline blocks)."""
+    ifrom = V3(fx, fy, fz)
+    rays = V3(rx, ry, rz)
+    if cfg.backend == "pallas":
+        from ..ops.tracer_pallas import trace_wave_pallas
+        return trace_wave_pallas(world, meta, cfg, ifrom, rays, seeds,
+                                 sec, page0=cfg.cam_page, pack=True)
+    page = (jnp.full_like(seeds, cfg.cam_page).astype(jnp.int32)
+            if meta.n_pages > 1 else None)
+    col4, dist = trace_wave(world, meta, cfg, ifrom, rays, seeds, sec,
+                            page)
+    return col_ftoint(col4), dist
+
+
+def shard_trace(world, meta: W.WorldMeta, cfg: RenderConfig, mesh: Mesh,
+                ifrom: V3, rays: V3, seeds, sec):
+    """shard_map the trace over every mesh axis on the flat ray batch.
+
+    ifrom/rays/seeds: flat [N] arrays with N % mesh.size == 0 (pad with
+    dead rays first); each device traces N/mesh.size rays.  Returns
+    (fb uint32 [N], zbuf [N]) sharded the same way."""
+    spec = P(tuple(mesh.axis_names))
+    wspec = jax.tree.map(lambda _: P(), world)
+    return jax.shard_map(
+        partial(_trace_flat, meta, cfg),
+        mesh=mesh,
+        in_specs=(wspec, spec, spec, spec, spec, spec, spec, spec,
+                  P()),
+        out_specs=(spec, spec),
+    )(world, ifrom.x, ifrom.y, ifrom.z, rays.x, rays.y, rays.z, seeds,
+      jnp.asarray(sec, jnp.float32))
+
+
+def _pad_flat(a, n_to, fill):
+    return jnp.pad(a, (0, n_to - a.shape[0]), constant_values=fill)
+
+
+# dead-ray fill values: origin (1,.5,1) sits inside a wall cell, the
+# ray dies on its first step (same convention as frame._tile_rays)
+_FILLS = dict(fx=1.0, fy=0.5, fz=1.0, rx=0.5, ry=-0.5, rz=0.5, seed=1)
 
 
 def _tile_cams(a3, bh, bw, fill):
@@ -143,6 +196,153 @@ def _render_cams_jit(world, meta: W.WorldMeta, cfg: RenderConfig,
     return fb, zbuf
 
 
+@partial(jax.jit, static_argnames=("meta", "cfg", "mesh"))
+def _render_cams_mesh_jit(world, meta: W.WorldMeta, cfg: RenderConfig,
+                          mesh: Mesh, cams, seeds, sec):
+    """Mesh-sharded batched render: cameras over "cam", each camera's
+    pixel blocks over "px" (shard_trace).  One camera's rays span n_px
+    devices - the analogue of the reference's OpenMP scanline split
+    (screen.h:63-67) over ICI instead of cores.
+
+    cams: [C,4,4] f32, C % mesh.shape["cam"] == 0.
+    Returns (fb [C,h,w] uint32, zbuf [C,h,w] f32), cam-sharded."""
+    h, w = cfg.height, cfg.width
+    c = cams.shape[0]
+    n_px = mesh.shape["px"]
+    xrat = jnp.float32(-1.0)
+    yrat = -(jnp.float32(h) / jnp.float32(w))
+    xsrat = jnp.float32(2.0) * xrat / jnp.float32(w)
+    ysrat = jnp.float32(2.0) * yrat / jnp.float32(h)
+    rayb = cams[:, 2, :3] + ((-xrat) * cams[:, 0, :3]
+                             + (-yrat) * cams[:, 1, :3])   # [C,3]
+    rdx = xsrat * cams[:, 0, :3]
+    rdy = ysrat * cams[:, 1, :3]
+    ys_ = jnp.arange(h, dtype=jnp.int32).astype(jnp.float32)
+    xs_ = jnp.arange(1, w + 1, dtype=jnp.int32).astype(jnp.float32)
+
+    def comp(i):
+        return (rayb[:, i, None, None]
+                + ys_[None, :, None] * rdy[:, i, None, None]
+                + xs_[None, None, :] * rdx[:, i, None, None])  # [C,h,w]
+
+    if cfg.backend == "pallas":
+        from ..render.frame import _block_shape
+        bh, bw = _block_shape(cfg)    # keep spatial blocks per device
+    else:
+        bh, bw = 1, w                 # row-major scanline bands
+    hp = -(-h // bh) * bh
+    wp = -(-w // bw) * bw
+    npad = hp * wp
+    blk = bh * bw
+    # pad each camera's block count to a px multiple so the flat
+    # P(("cam","px")) split never slices a block
+    npad2 = -(-npad // (blk * n_px)) * (blk * n_px)
+
+    def t(a3, fill):
+        a2 = _tile_cams(a3, bh, bw, fill).reshape(c, npad)
+        a2 = jnp.pad(a2, ((0, 0), (0, npad2 - npad)),
+                     constant_values=fill)
+        return a2.reshape(-1)
+
+    exp = lambda v: jnp.broadcast_to(v[:, None, None], (c, h, w))
+    rays = V3(t(comp(0), _FILLS["rx"]), t(comp(1), _FILLS["ry"]),
+              t(comp(2), _FILLS["rz"]))
+    origins = V3(t(exp(cams[:, 3, 0]), _FILLS["fx"]),
+                 t(exp(cams[:, 3, 1]), _FILLS["fy"]),
+                 t(exp(cams[:, 3, 2]), _FILLS["fz"]))
+    seeds_t = t(jnp.broadcast_to(seeds.reshape(1, h, w), (c, h, w)),
+                _FILLS["seed"])
+    fbf, zbf = shard_trace(world, meta, cfg, mesh, origins, rays,
+                           seeds_t, sec)
+
+    def ut(a):
+        return _untile_cams(a.reshape(c, npad2)[:, :npad].reshape(-1),
+                            c, h, w, bh, bw)
+
+    fb, zbuf = ut(fbf), ut(zbf)
+    if cfg.postproc_blur:
+        # per-camera DoF: taps gather arbitrary rows of the SAME
+        # camera's frame, so reassemble each frame on its cam group
+        # (XLA all-gathers over px) and blur cam-parallel
+        sh_cam = NamedSharding(mesh, P("cam"))
+        fb = jax.lax.with_sharding_constraint(fb, sh_cam)
+        zbuf = jax.lax.with_sharding_constraint(zbuf, sh_cam)
+        from ..ops.blur import dof_blur
+        fb = jax.vmap(lambda a, b: dof_blur(a, b, cfg.postproc_blur))(
+            fb, zbuf)
+    return fb, zbuf
+
+
+@partial(jax.jit, static_argnames=("meta", "cfg", "mesh"))
+def _render_frame_mesh_jit(world, meta: W.WorldMeta, cfg: RenderConfig,
+                           mesh: Mesh, origin, rayb, rdx, rdy, sec):
+    """ONE camera's frame sharded over every device of the mesh: the
+    flat block-major ray batch is split across all mesh axes
+    (shard_trace), so a single frame uses every chip - the direct
+    analogue of /root/reference/screen.h:63-67.  Fast mode only.
+    Returns (fb [h,w] uint32, zbuf [h,w] f32)."""
+    from ..render.frame import _block_shape, _tile_rays, _untile, \
+        gen_rays
+    h, w = cfg.height, cfg.width
+    n = h * w
+    nd = mesh.size
+    rays = gen_rays(rayb, rdx, rdy, w, h, parity=False)
+    xs = jnp.arange(w, dtype=jnp.uint32)
+    ys = jnp.arange(h, dtype=jnp.uint32)
+    seeds = lcg.pixel_seed(xs[None, :], ys[:, None], w).reshape(-1)
+    ifrom = V3(jnp.broadcast_to(origin[0], (n,)),
+               jnp.broadcast_to(origin[1], (n,)),
+               jnp.broadcast_to(origin[2], (n,)))
+    if cfg.backend == "pallas":
+        bh, bw = _block_shape(cfg)
+    else:
+        bh, bw = 1, w
+    blk = bh * bw
+    hp = -(-h // bh) * bh
+    wp = -(-w // bw) * bw
+    npad = hp * wp
+    npad2 = -(-npad // (blk * nd)) * (blk * nd)
+
+    def t(a, fill):
+        return _pad_flat(_tile_rays(a, h, w, bh, bw, fill), npad2, fill)
+
+    rays_t = V3(t(rays.x, _FILLS["rx"]), t(rays.y, _FILLS["ry"]),
+                t(rays.z, _FILLS["rz"]))
+    ifrom_t = V3(t(ifrom.x, _FILLS["fx"]), t(ifrom.y, _FILLS["fy"]),
+                 t(ifrom.z, _FILLS["fz"]))
+    seeds_t = t(seeds, _FILLS["seed"])
+    fbf, zbf = shard_trace(world, meta, cfg, mesh, ifrom_t, rays_t,
+                           seeds_t, sec)
+
+    def ut(a):
+        return _untile(a[:npad], h, w, bh, bw)
+
+    fb, zbuf = ut(fbf), ut(zbf)
+    if cfg.postproc_blur:
+        # full-frame gather: replicate, blur once (documented: the DoF
+        # pass does not scale over px; it is ~20% of the frame)
+        rep = NamedSharding(mesh, P())
+        fb = jax.lax.with_sharding_constraint(fb, rep)
+        zbuf = jax.lax.with_sharding_constraint(zbuf, rep)
+        from ..ops.blur import dof_blur
+        fb = dof_blur(fb, zbuf, cfg.postproc_blur)
+    return fb, zbuf
+
+
+def render_frame_sharded(world, meta: W.WorldMeta, cfg: RenderConfig,
+                         origin, rayb, rdx, rdy, sec, mesh: Mesh):
+    """Single-camera multi-chip render (fast mode).  See
+    _render_frame_mesh_jit."""
+    if cfg.parity:
+        raise ValueError(
+            "render_frame_sharded is fast-mode only; parity-exact "
+            "frames go through render.frame.render_frame")
+    world = jax.device_put(world, NamedSharding(mesh, P()))
+    return _render_frame_mesh_jit(
+        world, meta, cfg, mesh, jnp.asarray(origin), jnp.asarray(rayb),
+        jnp.asarray(rdx), jnp.asarray(rdy), jnp.float32(sec))
+
+
 def render_cameras(world, meta: W.WorldMeta, cfg: RenderConfig,
                    cams: np.ndarray, sec: float, mesh: Mesh):
     """Batched multi-camera render, sharded (cam, px) over the mesh.
@@ -161,6 +361,17 @@ def render_cameras(world, meta: W.WorldMeta, cfg: RenderConfig,
     seed_img = jnp.asarray(
         lcg.pixel_seed(xs[None, :], ys[:, None], w).reshape(-1))
     sh_rep = NamedSharding(mesh, P())
+    if mesh.size > 1:
+        # real mesh: cam x px sharded trace under shard_map (one
+        # camera's frame spans the px axis)
+        assert cams.shape[0] % mesh.shape["cam"] == 0, (
+            cams.shape, dict(mesh.shape))
+        world = jax.device_put(world, sh_rep)
+        cams_d = jax.device_put(jnp.asarray(cams, jnp.float32), sh_rep)
+        fb, _ = _render_cams_mesh_jit(world, meta, cfg, mesh, cams_d,
+                                      seed_img.reshape(h, w),
+                                      np.float32(sec))
+        return np.asarray(fb)
     cams_d = jax.device_put(jnp.asarray(cams, jnp.float32),
                             NamedSharding(mesh, P("cam", None, None)))
     world = jax.device_put(world, sh_rep)
