@@ -165,8 +165,10 @@ def bench_parity():
 def bench_stress():
     from pwnfps_tpu.world.procgen import make_portal_chain
     lv = make_portal_chain(10)
+    # look=+pi/2 faces DOWN the chain (+x); round 2 used -pi/2, which
+    # faces the wall at x=1 - that configuration measured a flat wall
     render = _std_render(lv, 1280, 720, None,
-                         cam_at=(1.5, 0.5, 1.5), look=-1.5707964)
+                         cam_at=(1.5, 0.5, 1.5), look=1.5707964)
     return _time_frames(render)
 
 

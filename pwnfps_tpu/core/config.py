@@ -87,6 +87,26 @@ class RenderConfig:
     # page the camera stands in (multi-page world atlases; see
     # ops/worlddev.py "Paged worlds")
     cam_page: int = 0
+    # fused wave loop (fast mode): terminated lanes shade and restart
+    # their bounce segment inside ONE DDA loop instead of waiting for a
+    # per-wave barrier - a tile executes max_lane(total steps) rather
+    # than sum over waves of max_lane(wave steps).  Geometry (terminal
+    # kinds, distances, zbuf) is bit-identical to the unfused loop;
+    # colours agree to ~1 ULP because the unwind blend is composed
+    # forward as a per-lane affine, which associates the reflectance
+    # products differently (tests/test_fused.py pins both).  The two
+    # backends remain bit-identical to each other.  Parity/profile
+    # runs always use the unfused structure.
+    #
+    # OFF by default: measured SLOWER on every BASELINE scene (23.3 vs
+    # 14.2 ms trace-only at 1080p; 60.5 vs ~30 ms at reflect=6) -
+    # segment lifetimes are 3-4 DDA steps, so the per-death
+    # shade+restart block runs nearly every step and its ~400 ops
+    # outweigh the 1.24-1.6x step-occupancy win the fused bound
+    # promises (tools/occupancy.py).  This is the measured dismissal
+    # of inter-wave ray compaction on this workload; see
+    # docs/PERFORMANCE.md.
+    fused: bool = False
 
     @property
     def n_waves(self) -> int:

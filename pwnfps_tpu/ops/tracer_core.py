@@ -138,13 +138,13 @@ class SegState(NamedTuple):
     aux_pos: V3
     aux_norm: V3
     aux_col: C4
-    tkind: jnp.ndarray
-    tldir: jnp.ndarray
-    tcolid: jnp.ndarray
-    tfog: jnp.ndarray
-    tdist: jnp.ndarray
-    tpos: V3
-    tray: V3
+    # terminal kind | wall-colour-id << 2.  The OTHER terminal outputs
+    # live in the carried arrays themselves: a dying lane's final
+    # pos/ray/cdist/fog/ldir are written into pos/ray/cdist/fog/ldir
+    # by the merged select trees (the lane is frozen afterwards, so
+    # nothing overwrites them) - ten fewer loop-carried planes and one
+    # select chain fewer per output field than separate t* arrays.
+    tmeta: jnp.ndarray
     tstep: jnp.ndarray        # step index at termination (profiling)
 
 
@@ -344,11 +344,13 @@ def _apply_aux(s: SegState, aux) -> SegState:
     return s
 
 
-def init_segment(ifrom: V3, iray: V3, active, env: Env,
-                 page=None) -> SegState:
+def _init_march(ifrom: V3, iray: V3, env: Env, page):
+    """The per-segment marching state (trace_ray's prologue,
+    trace.h:212-246): normalized+clamped ray, cell coords, step signs,
+    iavel and the initial crossing clocks, plus the start cell fetch.
+    Shared verbatim between init_segment and the fused bounce restart
+    so both derive bit-identical values."""
     math = env.math
-    if env.paged and page is None:
-        page = jnp.zeros_like(ifrom.x).astype(I32)
     ray = normalise_sse(iray, math.rsq)
     eps = F32(EPSILON)
 
@@ -371,13 +373,23 @@ def init_segment(ifrom: V3, iray: V3, active, env: Env,
 
     wdist = V3(flip(wd.x, ray.x) * iavel.x, flip(wd.y, ray.y) * iavel.y,
                flip(wd.z, ray.z) * iavel.z)
+    fields = env.fetch(cx, cz, page if env.paged else None)
+    return ray, cx, cz, gx, gy, gz, iavel, wdist, fields
+
+
+def init_segment(ifrom: V3, iray: V3, active, env: Env,
+                 page=None) -> SegState:
+    if env.paged and page is None:
+        page = jnp.zeros_like(ifrom.x).astype(I32)
+    (ray, cx, cz, gx, gy, gz, iavel, wdist,
+     fields) = _init_march(ifrom, iray, env, page)
     z1 = jnp.zeros_like(ifrom.x)
     one = jnp.ones_like(ifrom.x)
     z3 = V3(z1, z1, z1)
     zi = jnp.zeros_like(cx)
     return SegState(
         pos=ifrom, ray=ray, iavel=iavel, wdist=wdist,
-        fields=env.fetch(cx, cz, page if env.paged else None),
+        fields=fields,
         gx=gx, gy=gy, gz=gz,
         cx=cx, cz=cz, page=page if env.paged else None,
         cdist=z1, fog=z1, ldir=zi + FYN,
@@ -385,22 +397,19 @@ def init_segment(ifrom: V3, iray: V3, active, env: Env,
         aux_dist=z1 - F32(1.0), aux_t0=z1 - F32(1.0), sph_dirty=zi,
         aux_refl=z1 + F32(0.25),
         aux_pos=z3, aux_norm=z3, aux_col=C4(one, one, one, one),
-        tkind=zi, tldir=zi, tcolid=zi, tfog=z1, tdist=z1, tpos=z3,
-        tray=ray, tstep=zi)
+        tmeta=zi, tstep=zi)
 
 
-def _terminate(s: SegState, mask, kind, ldir=None, colid=None, fog=None,
-               dist=None, pos=None, ray=None) -> SegState:
+def _terminate(s: SegState, mask, kind, dist=None) -> SegState:
+    """Kill `mask` lanes with terminal kind `kind`; their carried
+    state (pos/ray/fog/ldir) already holds the terminal values (it is
+    frozen from here on).  `dist` overrides cdist (sphere hits record
+    aux_dist, trace.h:668-673)."""
     m = mask & (s.active != 0)
     return s._replace(
-        tkind=jnp.where(m, kind, s.tkind),
-        tldir=jnp.where(m, ldir, s.tldir) if ldir is not None else s.tldir,
-        tcolid=(jnp.where(m, colid, s.tcolid)
-                if colid is not None else s.tcolid),
-        tfog=jnp.where(m, fog, s.tfog) if fog is not None else s.tfog,
-        tdist=jnp.where(m, dist, s.tdist) if dist is not None else s.tdist,
-        tpos=pos.where(m, s.tpos) if pos is not None else s.tpos,
-        tray=ray.where(m, s.tray) if ray is not None else s.tray,
+        tmeta=jnp.where(m, kind, s.tmeta),
+        cdist=jnp.where(m, dist, s.cdist) if dist is not None
+        else s.cdist,
         active=jnp.where(m, 0, s.active))
 
 
@@ -725,65 +734,44 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig,
     m_wallm = wall0 & ~sphfire
     a = a & ~(p_bad | p_wrong | wall0)
 
-    # ---- merged terminal writes (values identical to the per-site
-    # _terminate calls they replace; see the masks' derivations above) ----
+    # ---- merged terminal + survivor writes (values identical to the
+    # per-site _terminate calls they replace; see the masks above).
+    # Terminal outputs are folded INTO the carried arrays: a dying
+    # lane's final pos/ray/fog/ldir/cdist land in the carried planes
+    # (frozen afterwards); only kind+colour need their own channel
+    # (tmeta).  One select chain per field for both fates.
     sphm = m_presph | m_sph2 | m_pbs | m_pws | m_sphw
     wallT = m_yhit | m_ryhit | m_wall2 | m_pbw | m_pww | m_wallm
     term = sphm | wallT
     near = m_yhit | m_ryhit | m_wall2          # terminals at cdist2
     my2 = m_yhit | m_ryhit
     ldir_ry = jnp.where(ray_y2 < 0.0, FYN, FYP)
-    s = s._replace(
-        tkind=jnp.where(term, jnp.where(sphm, T_SPHERE, T_WALL),
-                        s.tkind),
-        tdist=jnp.where(term,
-                        jnp.where(sphm, s.aux_dist,
-                                  jnp.where(near, cdist2, s.cdist)),
-                        s.tdist),
-        tfog=jnp.where(term,
-                       jnp.where(m_sph2, s.fog + extra,
-                                 jnp.where(m_yhit | m_wall2, fog2,
-                                           s.fog)),
-                       s.tfog),
-        # wall2 lanes are tall (never ramp), so their ldir3 == ldir2
-        # and their ray3.y == ray.y
-        tldir=jnp.where(wallT,
-                        jnp.where(m_ryhit, ldir_ry,
-                                  jnp.where(m_yhit | m_wall2, ldir2,
-                                            s.ldir)),
-                        s.tldir),
-        tcolid=jnp.where(
-            wallT,
-            jnp.where(m_yhit, jnp.where(gy > 0, C_CEIL, C_FLOOR),
-             jnp.where(m_ryhit,
-                       jnp.where(ray_y2 >= 0.0, C_CEIL, C_FLOOR),
-              jnp.where(m_pww, C_MAGENTA,
-               jnp.where(m_wallm & (s.ldir == FYP), C_CEIL, C_WALL)))),
-            s.tcolid),
-        tpos=V3(
-            jnp.where(wallT, jnp.where(near, pos2.x, pos.x), s.tpos.x),
-            jnp.where(wallT,
-                      jnp.where(my2, pos2.y,
-                                jnp.where(m_wall2, pos3y, pos.y)),
-                      s.tpos.y),
-            jnp.where(wallT, jnp.where(near, pos2.z, pos.z), s.tpos.z)),
-        # every terminal ray shares x/z with the carried ray; only the
-        # ramp-tilted terminals (pre-sphere, ramp Y hit) differ in y
-        tray=V3(jnp.where(term, ray.x, s.tray.x),
-                jnp.where(term,
-                          jnp.where(m_presph | m_ryhit, ray_y2, ray.y),
-                          s.tray.y),
-                jnp.where(term, ray.z, s.tray.z)),
-        active=jnp.where(term, 0, s.active))
-
-    # ---- merge state updates for survivors ---------------------------------
     cont2 = a & stepped
     pgo2 = a & pgo
-    new_pos = V3(jnp.where(pgo2, px_f, jnp.where(cont2, pos3.x, pos.x)),
-                 jnp.where(cont2, pos3.y, pos.y),
-                 jnp.where(pgo2, pz_f, jnp.where(cont2, pos3.z, pos.z)))
+    colid = jnp.where(
+        m_yhit, jnp.where(gy > 0, C_CEIL, C_FLOOR),
+        jnp.where(m_ryhit, jnp.where(ray_y2 >= 0.0, C_CEIL, C_FLOOR),
+                  jnp.where(m_pww, C_MAGENTA,
+                            jnp.where(m_wallm & (s.ldir == FYP),
+                                      C_CEIL, C_WALL))))
+    new_tmeta = jnp.where(
+        term, jnp.where(sphm, T_SPHERE, T_WALL | (colid << 2)),
+        s.tmeta)
+    # pos: survivors advance to pos3; near-wall deaths record the hit
+    # point (pos3.x/z == pos2.x/z; y differs per case via the shifts)
+    new_pos = V3(
+        jnp.where(pgo2, px_f,
+                  jnp.where(cont2 | near, pos3.x, pos.x)),
+        jnp.where(cont2 | m_wall2, pos3.y,
+                  jnp.where(my2, pos2.y, pos.y)),
+        jnp.where(pgo2, pz_f,
+                  jnp.where(cont2 | near, pos3.z, pos.z)))
+    # ray: only the ramp-tilted terminals (pre-sphere, ramp Y hit)
+    # differ from the carried ray, and only in y
     new_ray = V3(jnp.where(pgo2, vx_r, jnp.where(cont2, ray3.x, ray.x)),
-                 jnp.where(cont2, ray3.y, ray.y),
+                 jnp.where(cont2, ray3.y,
+                           jnp.where(m_presph | m_ryhit, ray_y2,
+                                     ray.y)),
                  jnp.where(pgo2, vz_r, jnp.where(cont2, ray3.z, ray.z)))
     new_wd = V3(jnp.where(pgo2, wx_r, jnp.where(cont2, wnx, wdist.x)),
                 jnp.where(cont2, wny, wdist.y),
@@ -794,9 +782,16 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig,
     new_gz = jnp.where(pgo2, gz_r, gz)
     new_cx = jnp.where(cont2, cx2, jnp.where(pgo2, cx_f, s.cx))
     new_cz = jnp.where(cont2, cz2, jnp.where(pgo2, cz_f, s.cz))
-    new_cd = jnp.where(cont2, cdist2, s.cdist)
-    new_fog = jnp.where(cont2, fog2, s.fog)
-    new_ld = jnp.where(cont2, ldir3, jnp.where(pgo2, ldir_p, s.ldir))
+    new_cd = jnp.where(cont2 | near, cdist2,
+                       jnp.where(sphm, s.aux_dist, s.cdist))
+    new_fog = jnp.where(cont2 | m_yhit | m_wall2, fog2,
+                        jnp.where(m_sph2, s.fog + extra, s.fog))
+    # wall2 lanes are tall (never ramp), so their ldir3 == ldir2
+    new_ld = jnp.where(cont2, ldir3,
+                       jnp.where(pgo2, ldir_p,
+                                 jnp.where(m_ryhit, ldir_ry,
+                                           jnp.where(m_yhit | m_wall2,
+                                                     ldir2, s.ldir))))
     new_f = _sel_fields(cont2 | pgo2, f_next, f)
 
     s = s._replace(pos=new_pos, ray=new_ray, wdist=new_wd, iavel=new_ia,
@@ -804,7 +799,9 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig,
                    gx=new_gx, gz=new_gz, cx=new_cx, cz=new_cz,
                    page=(jnp.where(pgo2, page_f, s.page)
                          if env.paged else None),
-                   cdist=new_cd, fog=new_fog, ldir=new_ld)
+                   cdist=new_cd, fog=new_fog, ldir=new_ld,
+                   tmeta=new_tmeta,
+                   active=jnp.where(term, 0, s.active))
 
     # hoisted-sphere mode: candidates are a function of the ray LINE, so
     # any event that moves a lane off its line - portal rotation, the
@@ -834,8 +831,7 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig,
              if env.sphere_all is not None else s.aux_dist)
     end_sph = ((s.active != 0) & (s.aux_dist != F32(-1.0))
                & (s.cdist > fire2))
-    s = _terminate(s, end_sph, T_SPHERE, fog=s.fog, dist=s.aux_dist,
-                   ray=s.ray)
+    s = _terminate(s, end_sph, T_SPHERE, dist=s.aux_dist)
     return s
 
 
@@ -874,15 +870,193 @@ def run_segment(env: Env, cfg: RenderConfig, ifrom: V3, iray: V3,
 
     _, _, s = jax.lax.while_loop(cond, body, (jnp.int32(0), fl0, s0))
     # still-active rays ran out of steps: sky colour = current ray dir
+    # (the carried ray IS the terminal ray, nothing to write)
     left = s.active != 0
-    s = s._replace(tkind=jnp.where(left, T_SKY, s.tkind),
-                   tray=s.ray.where(left, s.tray),
+    s = s._replace(tmeta=jnp.where(left, T_SKY, s.tmeta),
                    tstep=jnp.where(left, cfg.maxsteps, s.tstep))
-    return SegOut(tkind=s.tkind, tldir=s.tldir, tcolid=s.tcolid,
-                  tfog=s.tfog, tdist=s.tdist, tpos=s.tpos, tray=s.tray,
+    return seg_out_view(s)
+
+
+def seg_out_view(s: SegState) -> SegOut:
+    """Terminal outputs, read back from the carried (frozen) state."""
+    return SegOut(tkind=s.tmeta & 3, tldir=s.ldir,
+                  tcolid=(s.tmeta >> 2) & 3,
+                  tfog=s.fog, tdist=s.cdist, tpos=s.pos, tray=s.ray,
                   tpage=s.page, tstep=s.tstep,
                   aux_refl=s.aux_refl, aux_pos=s.aux_pos,
                   aux_norm=s.aux_norm, aux_col=s.aux_col)
+
+
+class FusedAcc(NamedTuple):
+    """Per-lane bounce bookkeeping of the fused wave loop."""
+
+    wave: jnp.ndarray      # current segment index (0 = primary)
+    segsteps: jnp.ndarray  # DDA steps taken in the current segment
+    done: jnp.ndarray      # 1 = colour finalized
+    seed: jnp.ndarray      # LCG state (advances 5 per shade event)
+    icol: C4               # parent base colour fed to the child wave
+    acc_a: C4              # composed affine: col = acc_a + acc_b * x
+    acc_b: jnp.ndarray     #   (b stays scalar: refl and fog factors)
+    col: C4                # finalized colour
+    dist0: jnp.ndarray     # primary-wave terminal distance (zbuf)
+
+
+def compute_flags_fused(s: SegState, acc: FusedAcc,
+                        env: Env) -> jnp.ndarray:
+    """Fused-loop gates: bit0 any-active, bit1 refresh, bit2 portal,
+    bit3 unprocessed death.  Three exact reductions (bit1 implies bit0,
+    so one max covers both; bits 2 and 3 are independent)."""
+    act = s.active != 0
+    v = jnp.where(act, 1, 0)
+    if env.sphere_all is not None:
+        v = v | jnp.where(act & ((s.sph_dirty & 1) != 0), 2, 0)
+    unproc = (~act) & (s.tmeta != 0) & (acc.done == 0)
+    b01 = jnp.max(v)
+    b2 = jnp.max(jnp.where(act & (s.fields.cls == W.PORTAL), 1, 0))
+    b3 = jnp.max(jnp.where(unproc, 1, 0))
+    return b01 | (b2 << 2) | (b3 << 3)
+
+
+def _process_deaths(s: SegState, acc: FusedAcc, env: Env,
+                    cfg: RenderConfig, sec) -> tuple[SegState, FusedAcc]:
+    """Shade every unprocessed dead lane; finalize or restart it as its
+    own bounce segment - the fused analogue of trace_hit_bounce's
+    recursion (trace.h:86-105) plus the unwind blend, carried forward
+    as a per-lane affine (col = acc_a + acc_b * child)."""
+    unproc = (s.active == 0) & (s.tmeta != 0) & (acc.done == 0)
+    out = seg_out_view(s)
+    depth_ok = acc.wave < cfg.reflect
+    base, refl, bounce, mpos, mray, seed2 = shade_and_bounce(
+        out, acc.icol, acc.seed, sec, depth_ok, env)
+    bounce = bounce & unproc
+    fin = unproc & ~bounce
+
+    # finalize: col = G(base) with G the composed ancestor affine
+    colf = acc.acc_a + acc.acc_b * base
+    col = colf.where(fin, acc.col)
+    dist0 = jnp.where(unproc & (acc.wave == 0), s.cdist, acc.dist0)
+
+    # bounce: compose this wave's blend into the affine
+    # (trace_hit_bounce:90-101: blended = refl*child + (1-refl)*base,
+    # then the fog wrap f*blended + (1-f) only when fog != 0)
+    a_b, b_b = base * (F32(1.0) - refl), refl
+    fogf = env.math.exp(F32(-0.6) * s.fog)
+    has_fog = s.fog != F32(0.0)
+    a_b = (a_b * fogf + (F32(1.0) - fogf)).where(has_fog, a_b)
+    b_b = jnp.where(has_fog, b_b * fogf, b_b)
+    new_a = (acc.acc_a + acc.acc_b * a_b).where(bounce, acc.acc_a)
+    new_b = jnp.where(bounce, acc.acc_b * b_b, acc.acc_b)
+
+    # restart the lane on its bounce ray (init_segment semantics via
+    # the shared _init_march - bit-identical to the unfused wave init)
+    (ray_n, cx_n, cz_n, gx_n, gy_n, gz_n, iavel_n, wdist_n,
+     f_n) = _init_march(mpos, mray, env, s.page)
+    z1 = jnp.zeros_like(s.pos.x)
+    one = jnp.ones_like(s.pos.x)
+    zi = jnp.zeros_like(s.cx)
+    s = s._replace(
+        pos=mpos.where(bounce, s.pos),
+        ray=ray_n.where(bounce, s.ray),
+        iavel=iavel_n.where(bounce, s.iavel),
+        wdist=wdist_n.where(bounce, s.wdist),
+        fields=_sel_fields(bounce, f_n, s.fields),
+        gx=jnp.where(bounce, gx_n, s.gx),
+        gy=jnp.where(bounce, gy_n, s.gy),
+        gz=jnp.where(bounce, gz_n, s.gz),
+        cx=jnp.where(bounce, cx_n, s.cx),
+        cz=jnp.where(bounce, cz_n, s.cz),
+        cdist=jnp.where(bounce, z1, s.cdist),
+        fog=jnp.where(bounce, z1, s.fog),
+        ldir=jnp.where(bounce, FYN, s.ldir),
+        active=jnp.where(bounce, 1, s.active),
+        aux_dist=jnp.where(bounce, F32(-1.0), s.aux_dist),
+        aux_t0=jnp.where(bounce, F32(-1.0), s.aux_t0),
+        aux_refl=jnp.where(bounce, F32(0.25), s.aux_refl),
+        aux_pos=V3(z1, z1, z1).where(bounce, s.aux_pos),
+        aux_norm=V3(z1, z1, z1).where(bounce, s.aux_norm),
+        aux_col=C4(one, one, one, one).where(bounce, s.aux_col),
+        tmeta=jnp.where(unproc, 0, s.tmeta),
+        tstep=jnp.where(bounce, zi, s.tstep))
+    # derive the new line's sphere candidates NOW (the refresh cond
+    # cannot cover the restart: the lane steps this very iteration)
+    if env.sphere_all is not None:
+        aux = env.sphere_all(s, bounce)
+        s = s._replace(
+            aux_dist=aux[0], aux_refl=aux[1], aux_pos=aux[2],
+            aux_norm=aux[3], aux_col=aux[4], aux_t0=aux[5],
+            sph_dirty=jnp.where(bounce, aux[6], s.sph_dirty))
+    acc = FusedAcc(
+        wave=jnp.where(bounce, acc.wave + 1, acc.wave),
+        segsteps=jnp.where(bounce, 0, acc.segsteps),
+        done=jnp.where(fin, 1, acc.done),
+        seed=jnp.where(unproc, seed2, acc.seed),
+        icol=base.where(bounce, acc.icol),
+        acc_a=new_a, acc_b=new_b, col=col, dist0=dist0)
+    return s, acc
+
+
+def run_fused(env: Env, cfg: RenderConfig, ifrom: V3, iray: V3, seed,
+              sec, page=None):
+    """Fused multi-bounce trace (fast mode): ONE masked DDA loop in
+    which a lane that terminates is shaded and restarted on its bounce
+    ray immediately - no cross-wave barrier, so a tile executes
+    max_lane(total steps) instead of sum_w(max_lane(steps_w)).  This is
+    the wavefront form of the reference's bounded recursion
+    (trace.h:86-105) and the "ray compaction between bounces" of the
+    north star: divergent lanes never wait for a wave boundary.
+
+    Per-lane marching arithmetic is the same op sequence as the
+    unfused wave loop, so geometry (terminal kinds, distances, zbuf)
+    is bit-identical to trace_wave_env with fused=False; colours agree
+    to ~1 ULP (the unwind blend becomes a forward-composed affine,
+    associating reflectance products differently - see
+    tests/test_fused.py).  Returns (col: C4, dist)."""
+    one = jnp.ones_like(ifrom.x)
+    zi = jnp.zeros_like(ifrom.x).astype(I32)
+    z1 = jnp.zeros_like(ifrom.x)
+    sec = F32(sec)
+    s0 = init_segment(ifrom, iray, one > 0.0, env, page)
+    if env.sphere_all is not None:
+        s0 = _apply_aux(s0, env.sphere_all(s0, s0.active != 0))
+    acc0 = FusedAcc(wave=zi, segsteps=zi, done=zi, seed=seed,
+                    icol=C4(one, one, one, one),
+                    acc_a=C4(z1, z1, z1, z1), acc_b=one,
+                    col=C4(z1, z1, z1, z1), dist0=z1)
+    fl0 = compute_flags_fused(s0, acc0, env)
+    chunk = max(1, cfg.step_chunk)
+    # generous hard cap: every wave may march its full step budget
+    cap = cfg.maxsteps * cfg.n_waves + 8 * cfg.n_waves
+
+    def cond(carry):
+        it, fl, s, acc = carry
+        return (it < cap) & ((fl & 9) > 0)
+
+    def body(carry):
+        it, fl, s, acc = carry
+        for _ in range(chunk):
+            s, acc = jax.lax.cond(
+                (fl & 8) > 0,
+                lambda op: _process_deaths(op[0], op[1], env, cfg, sec),
+                lambda op: (op[0], op[1]), (s, acc))
+            was = s.active != 0
+            s = segment_body(s, env, cfg, fl)
+            acc = acc._replace(
+                segsteps=jnp.where(was, acc.segsteps + 1,
+                                   acc.segsteps))
+            # per-segment step budget -> sky (trace.h:247,678)
+            over = (s.active != 0) & (acc.segsteps >= cfg.maxsteps)
+            s = _terminate(s, over, T_SKY)
+            fl = compute_flags_fused(s, acc, env)
+        return (it + chunk, fl, s, acc)
+
+    _, fl, s, acc = jax.lax.while_loop(cond, body,
+                                       (jnp.int32(0), fl0, s0, acc0))
+    # drain any death left unprocessed when the loop exited
+    s, acc = jax.lax.cond(
+        (fl & 8) > 0,
+        lambda op: _process_deaths(op[0], op[1], env, cfg, sec),
+        lambda op: (op[0], op[1]), (s, acc))
+    return acc.col, acc.dist0
 
 
 def _palette(colid, chan: int):
@@ -972,7 +1146,13 @@ def shade_and_bounce(out: SegOut, icol: C4, seed, sec, depth_ok: bool,
 
 def trace_wave_env(env: Env, cfg: RenderConfig, ifrom: V3, iray: V3,
                    seed, sec, page=None):
-    """Full multi-bounce trace. Returns (col: C4, dist)."""
+    """Full multi-bounce trace. Returns (col: C4, dist).
+
+    Fast mode uses the fused loop (run_fused, bit-identical results);
+    parity mode and profile runs keep the per-wave structure (the
+    serial wave boundary is what tstep telemetry measures)."""
+    if cfg.fused and not cfg.parity and not cfg.profile:
+        return run_fused(env, cfg, ifrom, iray, seed, sec, page)
     one = jnp.ones_like(ifrom.x)
     active = one > 0.0
     icol = C4(one, one, one, one)

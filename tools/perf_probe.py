@@ -31,6 +31,8 @@ def main() -> int:
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--reflect", type=int, default=2)
     ap.add_argument("--noblur", action="store_true")
+    ap.add_argument("--fuse", action="store_true")
+    ap.add_argument("--nospheres", action="store_true")
     ap.add_argument("--maxsteps", type=int, default=1000)
     args = ap.parse_args()
 
@@ -56,7 +58,7 @@ def main() -> int:
             (0.3, 0.0, -0.1, 0.03), (-0.1, 0.0, 0.3, 0.03),
             (-0.3, 0.0, -0.1, 0.03), (-0.1, 0.0, -0.3, 0.03)]
     pool = ObjectPool()
-    for (x, y, z, r) in opos:
+    for (x, y, z, r) in ([] if args.nospheres else opos):
         i = pool.obj_new()
         pool.obj_set_sphere(i, r, 0.4, 9.5 + x, 0.3 + y, 5.5 + z,
                             0.8, 0.7, 0.9)
@@ -66,7 +68,8 @@ def main() -> int:
     cfg = RenderConfig(width=width, height=height, parity=False,
                        backend="pallas", step_chunk=args.chunk,
                        maxsteps=args.maxsteps, reflect=args.reflect,
-                       postproc_blur=0 if args.noblur else 1)
+                       postproc_blur=0 if args.noblur else 1,
+                       fused=args.fuse)
 
     cam = mat4_identity()
     sx, sz = lv.spawn
@@ -104,6 +107,7 @@ def main() -> int:
     fps = args.frames / best
     print(json.dumps({
         "tile": os.environ.get("PWNFPS_PALLAS_TILE", "8192"),
+        "fused": args.fuse,
         "chunk": args.chunk, "blur": not args.noblur,
         "reflect": args.reflect,
         "res": f"{width}x{height}",
