@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from ..core import lcg
 from .blur import _avg_epu8, _draw_tables, dof_blur
@@ -43,13 +44,19 @@ def _avg_i32(a, b):
 
 
 def _blur_kernel(h, w, hp, wp, fstr, fh, zb_ref, tab_ref, g0, g1, g2,
-                 g3, g4, out_ref):
+                 g3, g4, out_ref, a0, a1, a2, a3):
     """One grid step blurs BR output rows.  The candidate source rows
     [y0-R, y0+BR+R) arrive as five 8-row aligned block views g0..g4
     (BlockSpec index maps i-2..i+2, clipped at the frame edges), so
     every VMEM access is static — Mosaic has no dynamic sublane loads.
     Each tap is resolved by scanning the 5x8 candidate rows x 3 lane
-    chunks with per-lane gathers keyed on (row, chunk)."""
+    chunks with per-lane gathers keyed on (row, chunk).
+
+    The row-band gate is ONE pl.when per halo group wrapping the whole
+    width (tap accumulators live in the a0..a3 VMEM scratch): the
+    earlier shape - a lax.cond per (group, lane-chunk), 5 x wp/128
+    scalar branches per block - spent more time branch-serializing
+    than gathering (10k branches per 1080p frame, measured ~2ms)."""
     nc = wp // 128
     nblk = hp // BR
     pid = pl.program_id(0)
@@ -95,15 +102,17 @@ def _blur_kernel(h, w, hp, wp, fstr, fh, zb_ref, tab_ref, g0, g1, g2,
     grps = (g0, g1, g2, g3, g4)
     gbase = [jnp.clip(pid - 2 + g, 0, nblk - 1) * np.int32(BR)
              for g in range(5)]
-    for c in range(nc):
-        sl = slice(c * 128, (c + 1) * 128)
-        key_t = [k[:, sl] for k in keys]
-        lo_t = [lo[:, sl] for lo in los]
-        acc = [jnp.zeros((BR, 128), I32) for _ in range(4)]
-        for g in range(5):
+    scr = (a0, a1, a2, a3)
+    for t in range(4):
+        scr[t][...] = jnp.zeros((BR, wp), I32)
 
-            def scan_group(acc, g=g):
-                acc = list(acc)
+    def make_scan(g):
+        def scan():
+            for c in range(nc):
+                sl = slice(c * 128, (c + 1) * 128)
+                key_t = [k[:, sl] for k in keys]
+                lo_t = [lo[:, sl] for lo in los]
+                acc = [scr[t][:, sl] for t in range(4)]
                 for gc in (c - 1, c, c + 1):
                     if not 0 <= gc < nc:
                         continue
@@ -119,13 +128,15 @@ def _blur_kernel(h, w, hp, wp, fstr, fh, zb_ref, tab_ref, g0, g1, g2,
                                                        axis=1)
                             acc[t] = jnp.where(key_t[t] == key, cand,
                                                acc[t])
-                return tuple(acc)
+                for t in range(4):
+                    scr[t][:, sl] = acc[t]
+        return scan
 
-            overlap = (gbase[g] <= rmax) & (gbase[g] + (BR - 1) >= rmin)
-            acc = list(jax.lax.cond(overlap, scan_group,
-                                    lambda a: tuple(a), tuple(acc)))
-        t0, t1, t2, t3 = acc
-        out_ref[:, sl] = _avg_i32(_avg_i32(t0, t1), _avg_i32(t2, t3))
+    for g in range(5):
+        overlap = (gbase[g] <= rmax) & (gbase[g] + (BR - 1) >= rmin)
+        pl.when(overlap)(make_scan(g))
+    out_ref[...] = _avg_i32(_avg_i32(a0[...], a1[...]),
+                            _avg_i32(a2[...], a3[...]))
 
 
 @partial(jax.jit, static_argnames=("passes", "frame_h"))
@@ -173,6 +184,7 @@ def dof_blur_auto(fb, zbuf, passes: int = 1, frame_h: int | None = None):
         ] + fb_specs,                                     # halo row groups
         out_specs=pl.BlockSpec((BR, wp), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((hp, wp), I32),
+        scratch_shapes=[pltpu.VMEM((BR, wp), jnp.int32)] * 4,
     )
 
     def pallas_passes(f):
