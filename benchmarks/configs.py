@@ -321,6 +321,11 @@ ALL = {"parity": bench_parity, "stress": bench_stress,
 
 
 def main(argv):
+    prefix = None
+    if argv and argv[0].startswith("--save="):
+        # --save=r3 writes benchmarks/results/r3_<name>.json per config
+        prefix = argv[0].split("=", 1)[1]
+        argv = argv[1:]
     names = argv or list(ALL)
     out = {}
     for n in names:
@@ -328,6 +333,12 @@ def main(argv):
         out[n] = ALL[n]()
         out[n]["wall_s"] = round(time.time() - t0, 1)
         print(json.dumps({n: out[n]}), flush=True)
+        if prefix:
+            path = os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), "results",
+                f"{prefix}_{n}.json")
+            with open(path, "w") as f:
+                json.dump(out[n], f, indent=1)
     return 0
 
 

@@ -172,7 +172,8 @@ _FIRE_NONE = 3.0e38     # aux_fire sentinel while no candidate is pending
 
 
 def make_sphere_all(n_spheres: int, get_sphere, math: Math,
-                    get_bound=None, sphere_page=None):
+                    get_bound=None, sphere_page=None,
+                    gather_sphere=None):
     """Line-vs-all-spheres candidate pass for the fast path.
 
     The reference registers a sphere candidate at the first DDA step
@@ -210,7 +211,25 @@ def make_sphere_all(n_spheres: int, get_sphere, math: Math,
     get_sphere(si) -> (V3 centre, r, refl, (b, g, r)) scalars;
     get_bound() -> (V3 centre, radius) of a sphere bounding ALL scene
     spheres: tiles whose lanes' lines all miss it skip the full pass
-    (one cheap per-lane test + one reduction per segment)."""
+    (one cheap per-lane test + one reduction per segment);
+    gather_sphere(idx) -> (V3 centre, refl, (b, g, r)) per-lane gather
+    of a sphere record by index (the winner rematerialization)."""
+    if gather_sphere is None:
+        def gather_sphere(idx):
+            zero = jnp.zeros_like(idx).astype(F32)
+            pos = V3(zero, zero, zero)
+            refl = zero
+            col = (zero, zero, zero)
+            for si in range(n_spheres):
+                c, _, srefl, scol = get_sphere(si)
+                m = idx == si
+                pos = V3(jnp.where(m, c.x, pos.x),
+                         jnp.where(m, c.y, pos.y),
+                         jnp.where(m, c.z, pos.z))
+                refl = jnp.where(m, srefl, refl)
+                col = tuple(jnp.where(m, scol[k], col[k])
+                            for k in range(3))
+            return pos, refl, col
 
     def run_full(s: SegState, mask, merge=False):
         # merge=False: fresh segment state (aux_dist == -1 per lane).
@@ -225,29 +244,32 @@ def make_sphere_all(n_spheres: int, get_sphere, math: Math,
             fire = jnp.where(pend, jnp.maximum(aux_dist, s.aux_t0),
                              F32(_FIRE_NONE) + zero)
             best_aux = jnp.where(pend, aux_dist, F32(_FIRE_NONE))
-            w_t0 = jnp.where(pend, s.aux_t0, zero)
         else:
             fire = zero + F32(_FIRE_NONE)
             best_aux = zero + F32(_FIRE_NONE)
-            w_t0 = zero
         new = zero > F32(1.0)
-        w_sd = zero
-        w_pos = V3(zero, zero, zero)
-        w_from = V3(zero, zero, zero)
-        w_col = (zero, zero, zero)
+        w_te = zero         # winner's slab entry time (from current pos)
+        w_sd = zero         # winner's raw sph_dist
+        w_idx = jnp.zeros_like(s.sph_dirty)   # winner's sphere index
         base = mask & (s.active != 0)
         if sphere_page is not None:
             # paged world: every sphere lives on one page; candidates
             # only exist for lanes currently in it
             base = base & (s.page == sphere_page)
+        # the loop keeps only the winner's ORDERING state plus (te, sd,
+        # idx); its position/reflectance/colour are gathered once after
+        # the loop (gather_sphere), and its entry point/t0 recomputed
+        # from te with the same expressions - 8 fewer vector selects
+        # per sphere than carrying the full candidate record.
         for si in range(n_spheres):
             c, sr, srefl, scol = get_sphere(si)
-            spos = V3(c.x + zero, c.y + zero, c.z + zero)
             # bucket AABB: [trunc(x-r), trunc(x+r)+1) etc (level.h:27-31)
-            bx1 = (c.x - sr).astype(I32).astype(F32) + zero
-            bx2 = (c.x + sr).astype(I32).astype(F32) + F32(1.0) + zero
-            bz1 = (c.z - sr).astype(I32).astype(F32) + zero
-            bz2 = (c.z + sr).astype(I32).astype(F32) + F32(1.0) + zero
+            # (scalar math on the scalar unit; only the lane-shaped ops
+            # below cost VPU issue slots)
+            bx1 = (c.x - sr).astype(I32).astype(F32)
+            bx2 = (c.x + sr).astype(I32).astype(F32) + F32(1.0)
+            bz1 = (c.z - sr).astype(I32).astype(F32)
+            bz2 = (c.z + sr).astype(I32).astype(F32) + F32(1.0)
             # slab entry time along the ray (sign-ordered near faces)
             sxp = s.ray.x >= 0.0
             szp = s.ray.z >= 0.0
@@ -255,7 +277,7 @@ def make_sphere_all(n_spheres: int, get_sphere, math: Math,
             tz = jnp.where(szp, bz1 - s.pos.z, s.pos.z - bz2) * s.iavel.z
             t_entry = jnp.maximum(jnp.maximum(tx, tz), F32(0.0))
             pent = s.pos + t_entry * s.ray
-            rel = spos - pent
+            rel = V3(c.x - pent.x, c.y - pent.y, c.z - pent.z)
             dist2 = dot_sse(rel, rel)
             dot = dot_sse(rel, s.ray)
             calcrad2 = dist2 - dot * dot
@@ -270,22 +292,22 @@ def make_sphere_all(n_spheres: int, get_sphere, math: Math,
                       | ((fire_c == fire) & (aux_c < best_aux))))
             fire = jnp.where(upd, fire_c, fire)
             best_aux = jnp.where(upd, aux_c, best_aux)
-            w_t0 = jnp.where(upd, s.cdist + t_entry, w_t0)
             aux_dist = jnp.where(upd, aux_c, aux_dist)
-            aux_refl = jnp.where(upd, srefl, aux_refl)
             new = new | upd
+            w_te = jnp.where(upd, t_entry, w_te)
             w_sd = jnp.where(upd, sph_dist, w_sd)
-            w_pos = spos.where(upd, w_pos)
-            w_from = pent.where(upd, w_from)
-            w_col = tuple(jnp.where(upd, scol[c2] + zero, w_col[c2])
-                          for c2 in range(3))
+            w_idx = jnp.where(upd, si, w_idx)
+        w_pos, w_refl, w_col = gather_sphere(w_idx)
+        w_t0 = s.cdist + w_te
+        w_from = s.pos + w_te * s.ray        # == the winner's pent
         apos = w_from + w_sd * s.ray
         anorm = normalise_sse(apos - w_pos, math.rsq)
         diff = jnp.maximum(-dot_sse(s.ray, anorm), 0.0)
         diff = F32(0.2) + F32(0.8) * diff
         acol = C4(diff * w_col[0], diff * w_col[1], diff * w_col[2],
                   zero)
-        return (aux_dist, aux_refl,
+        return (aux_dist,
+                jnp.where(new, w_refl, aux_refl),
                 apos.where(new, s.aux_pos),
                 anorm.where(new, s.aux_norm),
                 acol.where(new, s.aux_col),

@@ -133,9 +133,20 @@ def make_env(world: W.WorldDev, meta: W.WorldMeta,
                    + world.sph_r[:meta.n_spheres].max())
             return V3(ctr[0], ctr[1], ctr[2]), rad
 
+        ns = world.sph_pos.shape[0]
+
+        def gather_sphere(idx):
+            iC = jnp.clip(idx, 0, ns - 1)
+            return (V3(*(jnp.take(world.sph_pos[:, c], iC, mode="clip")
+                         for c in range(3))),
+                    jnp.take(world.sph_refl, iC, mode="clip"),
+                    tuple(jnp.take(world.sph_col[:, c], iC, mode="clip")
+                          for c in range(3)))
+
         sphere_all = (make_sphere_all(
             meta.n_spheres, get_sphere, math, get_bound,
-            sphere_page=meta.sphere_page if paged else None)
+            sphere_page=meta.sphere_page if paged else None,
+            gather_sphere=gather_sphere)
             if meta.n_spheres > 0 else None)
     return Env(math=math, fetch=fetch, fetch_portal=fetch_portal,
                sphere_pass=sphere_pass,

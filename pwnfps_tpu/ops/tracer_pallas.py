@@ -71,6 +71,9 @@ class PallasTables(NamedTuple):
     mask: jnp.ndarray    # [WC*ROWS,128] i32: sphere membership bits
                          # (parity mode only; [1,128] zeros in fast)
     sph: jnp.ndarray     # [SPH_ROWS, 8] f32: x,y,z,r,refl,cb,cg,cr
+    spht: jnp.ndarray    # [8,128] f32 transposed: row=channel
+                         # (x,y,z,refl,cb,cg,cr), lane=sphere index -
+                         # the fast path's per-lane winner gather
     rsqrt: jnp.ndarray   # [64*ROWS,128] i32: SSE rsqrtps result bits
     rcp: jnp.ndarray     # [32*ROWS,128] i32: SSE rcpps result bits
 
@@ -162,6 +165,10 @@ def build_tables(world: W.WorldDev, meta: W.WorldMeta,
                + world.sph_r[:meta.n_spheres].max())
         sph = sph.at[NSPH_MAX, 0:3].set(ctr)
         sph = sph.at[NSPH_MAX, 3].set(rad)
+    spht = jnp.zeros((8, 128), jnp.float32)
+    if not parity and take > 0:
+        for ch, col in enumerate((0, 1, 2, 4, 5, 6, 7)):
+            spht = spht.at[ch, :take].set(sph[:take, col])
     def bcast_u32(flat, chunks):
         # parity-only exact-math tables; fast mode ships [1,128] zeros
         # so they cost no VMEM there
@@ -175,7 +182,7 @@ def build_tables(world: W.WorldDev, meta: W.WorldMeta,
     # keep it unreplicated ([chunks,128]) and broadcast on the fly -
     # ROWS x smaller VMEM for one extra op per chunk on portal steps
     return PallasTables(word=plain_chunks(world.word), cword=cword_b,
-                        mask=mask, sph=sph,
+                        mask=mask, sph=sph, spht=spht,
                         rsqrt=bcast_u32(world.rsqrt_tab, 64),
                         rcp=bcast_u32(world.rcp_tab, 32))
 
@@ -357,7 +364,7 @@ def _sphere_pass_pallas(mask_ref, sph_ref, n_spheres: int, math: Math,
 
 def _kernel(cfg: RenderConfig, n_spheres: int, lh: int, has_clear: bool,
             n_pages: int, sphere_page: int, pack: bool,
-            word_ref, cword_ref, mask_ref, sph_ref,
+            word_ref, cword_ref, mask_ref, sph_ref, spht_ref,
             rsqrt_ref, rcp_ref, sec_ref, page0_ref,
             fx, fy, fz, rx, ry, rz, seed_ref, *outs):
     rows = _rows(cfg.parity)
@@ -396,9 +403,19 @@ def _kernel(cfg: RenderConfig, n_spheres: int, lh: int, has_clear: bool,
             return (V3(sph_ref[NSPH_MAX, 0], sph_ref[NSPH_MAX, 1],
                        sph_ref[NSPH_MAX, 2]), sph_ref[NSPH_MAX, 3])
 
+        def gather_sphere(idx):
+            def ch(row):
+                t = jnp.broadcast_to(spht_ref[row:row + 1, :],
+                                     idx.shape)
+                return jnp.take_along_axis(t, idx, axis=1)
+
+            return (V3(ch(0), ch(1), ch(2)), ch(3),
+                    (ch(4), ch(5), ch(6)))
+
         sphere_all = (make_sphere_all(
             n_spheres, get_sphere, math, get_bound,
-            sphere_page=sphere_page if paged else None)
+            sphere_page=sphere_page if paged else None,
+            gather_sphere=gather_sphere)
             if n_spheres > 0 else None)
     env = Env(math=math, fetch=fetch, fetch_portal=fetch_portal,
               sphere_pass=sphere_pass, randfs=_randfs_i32,
@@ -464,7 +481,7 @@ def _trace_pallas(tables: PallasTables, cfg: RenderConfig,
         in_specs=[full((_wchunks(lh) * n_pages, 128)),
                   full((_cchunks(lh) * n_pages * wrep, 128)),
                   full(mask_shape),
-                  full((SPH_ROWS, 8)),
+                  full((SPH_ROWS, 8)), full((8, 128)),
                   full((64 * ROWS, 128) if cfg.parity else (1, 128)),
                   full((32 * ROWS, 128) if cfg.parity else (1, 128)),
                   smem, smem,
@@ -480,7 +497,7 @@ def _trace_pallas(tables: PallasTables, cfg: RenderConfig,
     res = pl.pallas_call(
         kern, out_shape=outs, grid_spec=grid_spec,
     )(tables.word, tables.cword, tables.mask, tables.sph,
-      tables.rsqrt, tables.rcp, sec2, page2,
+      tables.spht, tables.rsqrt, tables.rcp, sec2, page2,
       fx, fy, fz, rx, ry, rz, seeds)
 
     def unpad(a):
