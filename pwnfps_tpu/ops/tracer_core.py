@@ -256,6 +256,16 @@ def make_sphere_all(n_spheres: int, get_sphere, math: Math,
             # paged world: every sphere lives on one page; candidates
             # only exist for lanes currently in it
             base = base & (s.page == sphere_page)
+        # loop-invariant lane terms, hoisted out of the sphere loop.
+        # ivx_s folds the slab-direction sign into iavel:
+        # (b1-p)*iv == (b1-p)*ivx_s for +x rays and
+        # (p-b2)*iv == (b2-p)*(-iv) == (b2-p)*ivx_s for -x rays —
+        # IEEE negation/operand swap are exact, so tx/tz bits are
+        # unchanged while each costs one select fewer per sphere.
+        sxp = s.ray.x >= 0.0
+        szp = s.ray.z >= 0.0
+        ivx_s = jnp.where(sxp, s.iavel.x, -s.iavel.x)
+        ivz_s = jnp.where(szp, s.iavel.z, -s.iavel.z)
         # the loop keeps only the winner's ORDERING state plus (te, sd,
         # idx); its position/reflectance/colour are gathered once after
         # the loop (gather_sphere), and its entry point/t0 recomputed
@@ -271,32 +281,36 @@ def make_sphere_all(n_spheres: int, get_sphere, math: Math,
             bz1 = (c.z - sr).astype(I32).astype(F32)
             bz2 = (c.z + sr).astype(I32).astype(F32) + F32(1.0)
             # slab entry time along the ray (sign-ordered near faces)
-            sxp = s.ray.x >= 0.0
-            szp = s.ray.z >= 0.0
-            tx = jnp.where(sxp, bx1 - s.pos.x, s.pos.x - bx2) * s.iavel.x
-            tz = jnp.where(szp, bz1 - s.pos.z, s.pos.z - bz2) * s.iavel.z
+            tx = (jnp.where(sxp, bx1, bx2) - s.pos.x) * ivx_s
+            tz = (jnp.where(szp, bz1, bz2) - s.pos.z) * ivz_s
             t_entry = jnp.maximum(jnp.maximum(tx, tz), F32(0.0))
             pent = s.pos + t_entry * s.ray
             rel = V3(c.x - pent.x, c.y - pent.y, c.z - pent.z)
             dist2 = dot_sse(rel, rel)
             dot = dot_sse(rel, s.ray)
             calcrad2 = dist2 - dot * dot
-            rad2 = sr * sr + zero
+            # scalar sphere terms stay off the VPU (fast mode only:
+            # the parity scan lives in _sphere_pass / tracer_jnp)
+            rad2 = sr * sr
             safe_rad2 = jnp.maximum(rad2, F32(1e-30))
             sph_dist = math.sqrt(dist2) - math.sqrt(jnp.maximum(
                 F32(1.0) - math.div(calcrad2, safe_rad2), F32(0.0)))
-            aux_c = sph_dist + (s.cdist + t_entry)
-            fire_c = jnp.maximum(aux_c, s.cdist + t_entry)
+            te_d = s.cdist + t_entry
+            aux_c = sph_dist + te_d
+            fire_c = jnp.maximum(aux_c, te_d)
             upd = (base & (dot > 0.0) & (calcrad2 < rad2)
                    & ((fire_c < fire)
                       | ((fire_c == fire) & (aux_c < best_aux))))
             fire = jnp.where(upd, fire_c, fire)
             best_aux = jnp.where(upd, aux_c, best_aux)
-            aux_dist = jnp.where(upd, aux_c, aux_dist)
             new = new | upd
             w_te = jnp.where(upd, t_entry, w_te)
             w_sd = jnp.where(upd, sph_dist, w_sd)
             w_idx = jnp.where(upd, si, w_idx)
+        # aux_dist tracked the winning aux_c through the loop; one
+        # post-loop select reproduces it (winner ⇒ best_aux, else the
+        # incoming value) — n_spheres selects fewer, same bits
+        aux_dist = jnp.where(new, best_aux, aux_dist)
         w_pos, w_refl, w_col = gather_sphere(w_idx)
         w_t0 = s.cdist + w_te
         w_from = s.pos + w_te * s.ray        # == the winner's pent

@@ -36,6 +36,8 @@ def main() -> int:
     ap.add_argument("--noblur", action="store_true")
     ap.add_argument("--fuse", action="store_true")
     ap.add_argument("--nospheres", action="store_true")
+    ap.add_argument("--noskip", action="store_true",
+                    help="disable the empty-space run-length skip")
     ap.add_argument("--maxsteps", type=int, default=1000)
     args = ap.parse_args()
 
@@ -72,7 +74,8 @@ def main() -> int:
                        backend="pallas", step_chunk=args.chunk,
                        maxsteps=args.maxsteps, reflect=args.reflect,
                        postproc_blur=0 if args.noblur else 1,
-                       fused=args.fuse)
+                       fused=args.fuse,
+                       space_skip=not args.noskip)
 
     cam = mat4_identity()
     sx, sz = lv.spawn
