@@ -78,12 +78,16 @@ class Env(NamedTuple):
     fetch: Any
     # fn(cell_idx) -> (pkind, prot, pdcx, pdcz[, dpage when paged])
     fetch_portal: Any
-    sphere_pass: Any   # fn(state, inb, fields) -> aux 5-tuple (or None)
+    sphere_pass: Any   # fn(state, inb, fields) -> aux 4-tuple (or None)
     randfs: Any        # fn(seed) -> (seed, f32 value)
     # fast mode only: fn(state, mask) -> aux 6-tuple testing EVERY
     # sphere against the lane's current ray line (no bucket gating),
     # hoisted out of the DDA loop at segment start (make_sphere_all).
     sphere_all: Any = None
+    # fn(state) -> (aux_refl, aux_pos, aux_norm, aux_col): winner
+    # rematerialization for SegOut (make_sphere_view); None when the
+    # scene has no spheres.
+    sphere_view: Any = None
     # static: may the empty-space skip engage?  False when the level's
     # clearance field is all-zero (tight maze), stripping the skip ops
     # from the step body at trace time.
@@ -134,10 +138,16 @@ class SegState(NamedTuple):
     # is still ahead.  -1 = entered (cell-registered or fired gate).
     aux_t0: jnp.ndarray
     sph_dirty: jnp.ndarray    # lane left its hoisted line (i32 flag)
-    aux_refl: jnp.ndarray
-    aux_pos: V3
-    aux_norm: V3
-    aux_col: C4
+    # compact pending-candidate record: hit position + winner's sphere
+    # index + diffuse factor (computed at registration, where the
+    # registration-time ray lives).  The winner's reflectance, normal
+    # and colour are REMATERIALIZED from these in seg_out_view - once
+    # per segment instead of carrying refl+norm+colour (8 planes)
+    # through every step's refresh-cond yield (bit-identical: same
+    # inputs, same expressions; see make_sphere_view).
+    aux_apos: V3
+    aux_idx: jnp.ndarray      # i32 winner sphere index
+    aux_diff: jnp.ndarray     # f32 diffuse shading factor
     # terminal kind | wall-colour-id << 2.  The OTHER terminal outputs
     # live in the carried arrays themselves: a dying lane's final
     # pos/ray/cdist/fog/ldir are written into pos/ray/cdist/fog/ldir
@@ -237,7 +247,7 @@ def make_sphere_all(n_spheres: int, get_sphere, math: Math,
         # the scan with its recorded fire value, so it persists unless a
         # new-line candidate fires strictly earlier - the reference's
         # replace-iff-strictly-closer registration rule.
-        aux_dist, aux_refl = s.aux_dist, s.aux_refl
+        aux_dist = s.aux_dist
         zero = jnp.zeros_like(s.pos.x)
         if merge:
             pend = aux_dist != F32(-1.0)
@@ -311,20 +321,21 @@ def make_sphere_all(n_spheres: int, get_sphere, math: Math,
         # post-loop select reproduces it (winner ⇒ best_aux, else the
         # incoming value) — n_spheres selects fewer, same bits
         aux_dist = jnp.where(new, best_aux, aux_dist)
-        w_pos, w_refl, w_col = gather_sphere(w_idx)
+        # only the winner's CENTRE is needed here (normal + diffuse use
+        # the registration-time ray, so they derive now); its
+        # reflectance/colour gathers happen once per segment in
+        # seg_out_view and the unused rows DCE away
+        w_pos, _, _ = gather_sphere(w_idx)
         w_t0 = s.cdist + w_te
         w_from = s.pos + w_te * s.ray        # == the winner's pent
         apos = w_from + w_sd * s.ray
         anorm = normalise_sse(apos - w_pos, math.rsq)
         diff = jnp.maximum(-dot_sse(s.ray, anorm), 0.0)
         diff = F32(0.2) + F32(0.8) * diff
-        acol = C4(diff * w_col[0], diff * w_col[1], diff * w_col[2],
-                  zero)
         return (aux_dist,
-                jnp.where(new, w_refl, aux_refl),
-                apos.where(new, s.aux_pos),
-                anorm.where(new, s.aux_norm),
-                acol.where(new, s.aux_col),
+                apos.where(new, s.aux_apos),
+                jnp.where(new, w_idx, s.aux_idx),
+                jnp.where(new, diff, s.aux_diff),
                 jnp.where(new, w_t0, s.aux_t0))
 
     if get_bound is None:
@@ -363,20 +374,46 @@ def make_sphere_all(n_spheres: int, get_sphere, math: Math,
                                  1, 0)) > 0
         return jax.lax.cond(
             anyq, lambda op: run_full(op[0], op[1], merge),
-            lambda op: (op[0].aux_dist, op[0].aux_refl, op[0].aux_pos,
-                        op[0].aux_norm, op[0].aux_col, op[0].aux_t0),
+            lambda op: (op[0].aux_dist, op[0].aux_apos, op[0].aux_idx,
+                        op[0].aux_diff, op[0].aux_t0),
             (s, mask)) + (rel_bit,)
 
     return run
 
 
+def make_sphere_view(gather_sphere, math: Math):
+    """SegOut aux rematerialization from the compact carried record.
+
+    Bit-identical to the values the registration passes used to carry:
+    the normal is normalise(apos - centre) and the colour diff * base
+    colour with diff captured at registration - same inputs, same
+    expression order (make_sphere_all / the cell-driven scans).  Lanes
+    with no registered candidate get the untouched init defaults; their
+    values are only ever consumed behind a tkind == T_SPHERE select."""
+    def view(s: SegState):
+        valid = s.aux_dist != F32(-1.0)
+        w_pos, w_refl, w_col = gather_sphere(s.aux_idx)
+        anorm = normalise_sse(s.aux_apos - w_pos, math.rsq)
+        zero = jnp.zeros_like(s.aux_diff)
+        one = jnp.ones_like(zero)
+        refl = jnp.where(valid, w_refl, F32(0.25))
+        norm = anorm.where(valid, V3(zero, zero, zero))
+        col = C4(jnp.where(valid, s.aux_diff * w_col[0], one),
+                 jnp.where(valid, s.aux_diff * w_col[1], one),
+                 jnp.where(valid, s.aux_diff * w_col[2], one),
+                 jnp.where(valid, zero, one))
+        return refl, s.aux_apos, norm, col
+
+    return view
+
+
 def _apply_aux(s: SegState, aux) -> SegState:
-    """aux: 5-tuple from the cell-driven pass (aux_t0/sph_dirty kept) or
-    7-tuple from the hoisted pass (aux_t0 + the relevance bit)."""
-    s = s._replace(aux_dist=aux[0], aux_refl=aux[1], aux_pos=aux[2],
-                   aux_norm=aux[3], aux_col=aux[4])
-    if len(aux) > 5:
-        s = s._replace(aux_t0=aux[5], sph_dirty=aux[6])
+    """aux: 4-tuple from the cell-driven pass (aux_t0/sph_dirty kept) or
+    6-tuple from the hoisted pass (aux_t0 + the relevance bit)."""
+    s = s._replace(aux_dist=aux[0], aux_apos=aux[1], aux_idx=aux[2],
+                   aux_diff=aux[3])
+    if len(aux) > 4:
+        s = s._replace(aux_t0=aux[4], sph_dirty=aux[5])
     return s
 
 
@@ -420,7 +457,6 @@ def init_segment(ifrom: V3, iray: V3, active, env: Env,
     (ray, cx, cz, gx, gy, gz, iavel, wdist,
      fields) = _init_march(ifrom, iray, env, page)
     z1 = jnp.zeros_like(ifrom.x)
-    one = jnp.ones_like(ifrom.x)
     z3 = V3(z1, z1, z1)
     zi = jnp.zeros_like(cx)
     return SegState(
@@ -431,8 +467,7 @@ def init_segment(ifrom: V3, iray: V3, active, env: Env,
         cdist=z1, fog=z1, ldir=zi + FYN,
         active=active.astype(I32),
         aux_dist=z1 - F32(1.0), aux_t0=z1 - F32(1.0), sph_dirty=zi,
-        aux_refl=z1 + F32(0.25),
-        aux_pos=z3, aux_norm=z3, aux_col=C4(one, one, one, one),
+        aux_apos=z3, aux_idx=zi, aux_diff=z1,
         tmeta=zi, tstep=zi)
 
 
@@ -486,38 +521,112 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig,
     inb = (s.cx >= 0) & (s.cx < 64) & (s.cz >= 0) & (s.cz < 64)
     cls = f.cls
 
+    # ---- merged rare-event branch: sphere refresh + portal targets --------
+    # Both bodies are pure functions of the PRE-step state and fully
+    # per-lane-masked, so one tile-uniform cond covers them: firing the
+    # portal body on a sphere-only step (or vice versa) computes values
+    # no lane consumes (pgo masks on active portal lanes; the sphere
+    # pass masks on dirty/bucketed lanes) - bit-identical outputs, one
+    # scalar branch per step instead of two.  The cond yields ONLY the
+    # aux fields + the 15 portal targets: Mosaic materializes every
+    # yielded lane, so returning the whole SegState here costs more
+    # than the event math it skips.
+    def portal_calc(s_):
+        f_ = s_.fields
+        if env.paged:
+            pkind, prot, pdcx, pdcz, dpage = env.fetch_portal(
+                f_.cell_idx)
+        else:
+            pkind, prot, pdcx, pdcz = env.fetch_portal(f_.cell_idx)
+            dpage = s_.cx  # placeholder, unused
+        cxp = s_.cx + pdcx
+        czp = s_.cz + pdcz
+        px_t = s_.pos.x + pdcx.astype(F32)
+        pz_t = s_.pos.z + pdcz.astype(F32)
+        rot = prot
+        ldir_p = (s_.ldir - rot) & 3
+        cxh = cxp.astype(F32) + F32(0.5)
+        czh = czp.astype(F32) + F32(0.5)
+        trx, trz = px_t, pz_t
+        tvx, tvz = s_.ray.x, s_.ray.z
+        twx, twz = s_.wdist.x, s_.wdist.z
+        tix, tiz = s_.iavel.x, s_.iavel.z
+        r1, r2, r3 = rot == 1, rot == 2, rot == 3
+        px_r = jnp.where(r1, cxh + (trz - czh),
+                         jnp.where(r2, cxh * F32(2.0) - px_t,
+                                   jnp.where(r3, cxh - (trz - czh),
+                                             px_t)))
+        pz_r = jnp.where(r1, czh - (trx - cxh),
+                         jnp.where(r2, czh * F32(2.0) - pz_t,
+                                   jnp.where(r3, czh + (trx - cxh),
+                                             pz_t)))
+        vx_r = jnp.where(r1, tvz, jnp.where(r2, -tvx,
+                                            jnp.where(r3, -tvz, tvx)))
+        vz_r = jnp.where(r1, -tvx, jnp.where(r2, -tvz,
+                                             jnp.where(r3, tvx, tvz)))
+        gx_r = jnp.where(r1, s_.gz, jnp.where(r2, -s_.gx,
+                                              jnp.where(r3, -s_.gz,
+                                                        s_.gx)))
+        gz_r = jnp.where(r1, -s_.gx, jnp.where(r2, -s_.gz,
+                                               jnp.where(r3, s_.gx,
+                                                         s_.gz)))
+        swap = r1 | r3
+        wx_r = jnp.where(swap, twz, twx)
+        wz_r = jnp.where(swap, twx, twz)
+        ix_r = jnp.where(swap, tiz, tix)
+        iz_r = jnp.where(swap, tix, tiz)
+        # advance one cell along the rotated ldir (default case is FXP)
+        step_dx = jnp.where(ldir_p == FZP, 0,
+                            jnp.where(ldir_p == FXN, -1,
+                                      jnp.where(ldir_p == FZN, 0, 1)))
+        step_dz = jnp.where(ldir_p == FZP, 1,
+                            jnp.where(ldir_p == FZN, -1, 0))
+        return (pkind, ldir_p,
+                px_r + step_dx.astype(F32), pz_r + step_dz.astype(F32),
+                cxp + step_dx, czp + step_dz,
+                vx_r, vz_r, wx_r, wz_r, ix_r, iz_r, gx_r, gz_r, dpage)
+
+    def portal_skip(s_):
+        zi = jnp.zeros_like(s_.cx)
+        zf = jnp.zeros_like(s_.pos.x)
+        return (zi, zi, zf, zf, zi, zi, zf, zf, zf, zf, zf, zf, zi, zi,
+                zi)
+
     if env.sphere_all is not None:
         # fast path: hoisted candidates (run_segment) cover lanes still
         # on their last-derived line; lanes that left it (sph_dirty bit
         # 0, set on portal/y-shift/ramp events) re-derive candidates on
         # the new line here, merging with any still-pending ENTERED
         # candidate (reference aux persistence across such events).
-        # The cond yields ONLY the aux fields: Mosaic materializes
-        # every yielded lane, so returning the whole SegState here
-        # costs more than the sphere math it skips.
         refresh = (s.sph_dirty & 1) != 0
-        aux = jax.lax.cond(
-            (flags & 2) > 0,
-            lambda op: env.sphere_all(op[0], op[1], merge=True),
-            lambda op: (op[0].aux_dist, op[0].aux_refl, op[0].aux_pos,
-                        op[0].aux_norm, op[0].aux_col, op[0].aux_t0,
-                        op[0].sph_dirty),
+        out = jax.lax.cond(
+            (flags & 6) > 0,
+            lambda op: (env.sphere_all(op[0], op[1], merge=True)
+                        + portal_calc(op[0])),
+            lambda op: (op[0].aux_dist, op[0].aux_apos, op[0].aux_idx,
+                        op[0].aux_diff, op[0].aux_t0, op[0].sph_dirty)
+            + portal_skip(op[0]),
             (s, refresh))
-        s = s._replace(aux_dist=aux[0], aux_refl=aux[1], aux_pos=aux[2],
-                       aux_norm=aux[3], aux_col=aux[4], aux_t0=aux[5],
-                       sph_dirty=jnp.where(refresh, aux[6],
+        aux, pout = out[:6], out[6:]
+        s = s._replace(aux_dist=aux[0], aux_apos=aux[1], aux_idx=aux[2],
+                       aux_diff=aux[3], aux_t0=aux[4],
+                       sph_dirty=jnp.where(refresh, aux[5],
                                            s.sph_dirty))
     elif env.sphere_pass is not None:
-        # cell-driven bucket scan (parity path): skip the whole sphere
-        # block unless some active ray stands in a bucketed cell
-        # (tile-uniform branch on the pallas path).
-        aux = jax.lax.cond(
-            (flags & 2) > 0,
-            lambda op: env.sphere_pass(*op),
-            lambda op: (op[0].aux_dist, op[0].aux_refl, op[0].aux_pos,
-                        op[0].aux_norm, op[0].aux_col),
+        # cell-driven bucket scan (parity path): runs when some active
+        # ray stands in a bucketed cell (or a portal fires - harmless,
+        # the per-lane valid mask registers nothing then).
+        out = jax.lax.cond(
+            (flags & 6) > 0,
+            lambda op: env.sphere_pass(*op) + portal_calc(op[0]),
+            lambda op: (op[0].aux_dist, op[0].aux_apos, op[0].aux_idx,
+                        op[0].aux_diff) + portal_skip(op[0]),
             (s, inb, f))
+        aux, pout = out[:4], out[4:]
         s = _apply_aux(s, aux)
+    else:
+        pout = jax.lax.cond((flags & 4) > 0, portal_calc, portal_skip,
+                            s)
 
     is_floorish = (cls == W.FLOOR) | (cls == W.FOG) | (cls == W.LOWER)
     is_tall = (cls == W.TALL) | (cls == W.TALLFOG)
@@ -650,72 +759,10 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig,
         * iavel.y
     wny = jnp.where(ramp_go & stepped, wy_post, wny)
 
-    # ---- portal traversal targets (trace.h:507-650): the whole block -
-    # including the portal-field fetch - runs only when some active ray
-    # stands on a portal cell (tile-uniform branch on the pallas path)
-    any_portal = (flags & 4) > 0
-
-    def portal_calc(_):
-        if env.paged:
-            pkind, prot, pdcx, pdcz, dpage = env.fetch_portal(
-                f.cell_idx)
-        else:
-            pkind, prot, pdcx, pdcz = env.fetch_portal(f.cell_idx)
-            dpage = s.cx  # placeholder, unused
-        cxp = s.cx + pdcx
-        czp = s.cz + pdcz
-        px_t = pos.x + pdcx.astype(F32)
-        pz_t = pos.z + pdcz.astype(F32)
-        rot = prot
-        ldir_p = (s.ldir - rot) & 3
-        cxh = cxp.astype(F32) + F32(0.5)
-        czh = czp.astype(F32) + F32(0.5)
-        trx, trz = px_t, pz_t
-        tvx, tvz = ray.x, ray.z
-        twx, twz = wdist.x, wdist.z
-        tix, tiz = iavel.x, iavel.z
-        r1, r2, r3 = rot == 1, rot == 2, rot == 3
-        px_r = jnp.where(r1, cxh + (trz - czh),
-                         jnp.where(r2, cxh * F32(2.0) - px_t,
-                                   jnp.where(r3, cxh - (trz - czh),
-                                             px_t)))
-        pz_r = jnp.where(r1, czh - (trx - cxh),
-                         jnp.where(r2, czh * F32(2.0) - pz_t,
-                                   jnp.where(r3, czh + (trx - cxh),
-                                             pz_t)))
-        vx_r = jnp.where(r1, tvz, jnp.where(r2, -tvx,
-                                            jnp.where(r3, -tvz, tvx)))
-        vz_r = jnp.where(r1, -tvx, jnp.where(r2, -tvz,
-                                             jnp.where(r3, tvx, tvz)))
-        gx_r = jnp.where(r1, gz, jnp.where(r2, -gx,
-                                           jnp.where(r3, -gz, gx)))
-        gz_r = jnp.where(r1, -gx, jnp.where(r2, -gz,
-                                            jnp.where(r3, gx, gz)))
-        swap = r1 | r3
-        wx_r = jnp.where(swap, twz, twx)
-        wz_r = jnp.where(swap, twx, twz)
-        ix_r = jnp.where(swap, tiz, tix)
-        iz_r = jnp.where(swap, tix, tiz)
-        # advance one cell along the rotated ldir (default case is FXP)
-        step_dx = jnp.where(ldir_p == FZP, 0,
-                            jnp.where(ldir_p == FXN, -1,
-                                      jnp.where(ldir_p == FZN, 0, 1)))
-        step_dz = jnp.where(ldir_p == FZP, 1,
-                            jnp.where(ldir_p == FZN, -1, 0))
-        return (pkind, ldir_p,
-                px_r + step_dx.astype(F32), pz_r + step_dz.astype(F32),
-                cxp + step_dx, czp + step_dz,
-                vx_r, vz_r, wx_r, wz_r, ix_r, iz_r, gx_r, gz_r, dpage)
-
-    def portal_skip(_):
-        zi = jnp.zeros_like(s.cx)
-        zf = jnp.zeros_like(pos.x)
-        return (zi, zi, zf, zf, zi, zi, zf, zf, zf, zf, zf, zf, zi, zi,
-                zi)
-
+    # ---- portal traversal targets (trace.h:507-650): computed in the
+    # merged rare-event branch above (pout)
     (pkind, ldir_p, px_f, pz_f, cx_f, cz_f, vx_r, vz_r, wx_r, wz_r,
-     ix_r, iz_r, gx_r, gz_r, page_f) = jax.lax.cond(
-        any_portal, portal_calc, portal_skip, 0)
+     ix_r, iz_r, gx_r, gz_r, page_f) = pout
     pgo = a & is_portal & (pkind == 1)
 
     # ---- the ONE per-step fetch: landing cell of steppers & portal rays --
@@ -910,17 +957,30 @@ def run_segment(env: Env, cfg: RenderConfig, ifrom: V3, iray: V3,
     left = s.active != 0
     s = s._replace(tmeta=jnp.where(left, T_SKY, s.tmeta),
                    tstep=jnp.where(left, cfg.maxsteps, s.tstep))
-    return seg_out_view(s)
+    return seg_out_view(s, env)
 
 
-def seg_out_view(s: SegState) -> SegOut:
-    """Terminal outputs, read back from the carried (frozen) state."""
+def seg_out_view(s: SegState, env: Env) -> SegOut:
+    """Terminal outputs, read back from the carried (frozen) state.
+    The sphere winner's refl/normal/colour rematerialize here (once per
+    segment) from the compact carried record via env.sphere_view."""
+    if env.sphere_view is not None:
+        refl, apos, anorm, acol = env.sphere_view(s)
+    else:
+        # sphere-free scene: the init defaults (never consumed - no
+        # lane can terminate T_SPHERE without a registered candidate)
+        zero = jnp.zeros_like(s.aux_diff)
+        one = jnp.ones_like(zero)
+        refl = zero + F32(0.25)
+        apos = V3(zero, zero, zero)
+        anorm = V3(zero, zero, zero)
+        acol = C4(one, one, one, one)
     return SegOut(tkind=s.tmeta & 3, tldir=s.ldir,
                   tcolid=(s.tmeta >> 2) & 3,
                   tfog=s.fog, tdist=s.cdist, tpos=s.pos, tray=s.ray,
                   tpage=s.page, tstep=s.tstep,
-                  aux_refl=s.aux_refl, aux_pos=s.aux_pos,
-                  aux_norm=s.aux_norm, aux_col=s.aux_col)
+                  aux_refl=refl, aux_pos=apos,
+                  aux_norm=anorm, aux_col=acol)
 
 
 class FusedAcc(NamedTuple):
@@ -960,7 +1020,7 @@ def _process_deaths(s: SegState, acc: FusedAcc, env: Env,
     recursion (trace.h:86-105) plus the unwind blend, carried forward
     as a per-lane affine (col = acc_a + acc_b * child)."""
     unproc = (s.active == 0) & (s.tmeta != 0) & (acc.done == 0)
-    out = seg_out_view(s)
+    out = seg_out_view(s, env)
     depth_ok = acc.wave < cfg.reflect
     base, refl, bounce, mpos, mray, seed2 = shade_and_bounce(
         out, acc.icol, acc.seed, sec, depth_ok, env)
@@ -988,7 +1048,6 @@ def _process_deaths(s: SegState, acc: FusedAcc, env: Env,
     (ray_n, cx_n, cz_n, gx_n, gy_n, gz_n, iavel_n, wdist_n,
      f_n) = _init_march(mpos, mray, env, s.page)
     z1 = jnp.zeros_like(s.pos.x)
-    one = jnp.ones_like(s.pos.x)
     zi = jnp.zeros_like(s.cx)
     s = s._replace(
         pos=mpos.where(bounce, s.pos),
@@ -1007,10 +1066,9 @@ def _process_deaths(s: SegState, acc: FusedAcc, env: Env,
         active=jnp.where(bounce, 1, s.active),
         aux_dist=jnp.where(bounce, F32(-1.0), s.aux_dist),
         aux_t0=jnp.where(bounce, F32(-1.0), s.aux_t0),
-        aux_refl=jnp.where(bounce, F32(0.25), s.aux_refl),
-        aux_pos=V3(z1, z1, z1).where(bounce, s.aux_pos),
-        aux_norm=V3(z1, z1, z1).where(bounce, s.aux_norm),
-        aux_col=C4(one, one, one, one).where(bounce, s.aux_col),
+        aux_apos=V3(z1, z1, z1).where(bounce, s.aux_apos),
+        aux_idx=jnp.where(bounce, 0, s.aux_idx),
+        aux_diff=jnp.where(bounce, z1, s.aux_diff),
         tmeta=jnp.where(unproc, 0, s.tmeta),
         tstep=jnp.where(bounce, zi, s.tstep))
     # derive the new line's sphere candidates NOW (the refresh cond
@@ -1018,9 +1076,9 @@ def _process_deaths(s: SegState, acc: FusedAcc, env: Env,
     if env.sphere_all is not None:
         aux = env.sphere_all(s, bounce)
         s = s._replace(
-            aux_dist=aux[0], aux_refl=aux[1], aux_pos=aux[2],
-            aux_norm=aux[3], aux_col=aux[4], aux_t0=aux[5],
-            sph_dirty=jnp.where(bounce, aux[6], s.sph_dirty))
+            aux_dist=aux[0], aux_apos=aux[1], aux_idx=aux[2],
+            aux_diff=aux[3], aux_t0=aux[4],
+            sph_dirty=jnp.where(bounce, aux[5], s.sph_dirty))
     acc = FusedAcc(
         wave=jnp.where(bounce, acc.wave + 1, acc.wave),
         segsteps=jnp.where(bounce, 0, acc.segsteps),

@@ -18,7 +18,8 @@ from ..core.ieee import div_rn, sqrt_rn
 from . import worlddev as W
 from .tracer_core import (CellFields, Env, Math, SegState,  # noqa: F401
                           col_ftoint, decode_portal_word, decode_word,
-                          make_sphere_all, trace_wave_env)
+                          make_sphere_all, make_sphere_view,
+                          trace_wave_env)
 from .vec import C4, V3, dot_sse, normalise_sse
 
 F32 = jnp.float32
@@ -47,8 +48,17 @@ def _sphere_pass(world: W.WorldDev, meta: W.WorldMeta, math: Math):
     ns = world.sph_pos.shape[0]
 
     def run(s: SegState, inb, f: CellFields):
-        aux_dist, aux_refl = s.aux_dist, s.aux_refl
-        aux_pos, aux_norm, aux_col = s.aux_pos, s.aux_norm, s.aux_col
+        # two-phase form (see _sphere_pass_pallas): the slot loop keeps
+        # only the winner's ordering state (last strictly-closer update,
+        # reference insertion-order tie-break), then one shared shading
+        # derives apos/diff from the winner's exact inputs -- the
+        # normal/colour themselves rematerialize once per segment in
+        # seg_out_view (bit-identical: same inputs, same expressions)
+        aux_dist = s.aux_dist
+        zero = jnp.zeros_like(s.pos.x)
+        new = zero > F32(1.0)
+        w_sd = zero
+        w_idx = jnp.zeros_like(s.aux_idx)
         for k in range(meta.k_bucket):
             si = jnp.take(world.buckets, f.cell_idx * K + k, mode="clip")
             valid = (s.active != 0) & inb & (k < f.nsph) & (si >= 0)
@@ -57,9 +67,6 @@ def _sphere_pass(world: W.WorldDev, meta: W.WorldMeta, math: Math):
                       jnp.take(world.sph_pos[:, 1], siC, mode="clip"),
                       jnp.take(world.sph_pos[:, 2], siC, mode="clip"))
             sr = jnp.take(world.sph_r, siC, mode="clip")
-            srefl = jnp.take(world.sph_refl, siC, mode="clip")
-            scol = [jnp.take(world.sph_col[:, c], siC, mode="clip")
-                    for c in range(3)]
             rad2 = sr * sr
             rel = spos - s.pos
             dist2 = dot_sse(rel, rel)
@@ -72,19 +79,20 @@ def _sphere_pass(world: W.WorldDev, meta: W.WorldMeta, math: Math):
             upd = (valid & (dot > 0.0) & (calcrad2 < rad2)
                    & ((aux_dist == F32(-1.0))
                       | (sph_dist + s.cdist < aux_dist)))
-            apos = s.pos + sph_dist * s.ray
-            anorm = normalise_sse(apos - spos, math.rsq)
-            diff = jnp.maximum(-dot_sse(s.ray, anorm), 0.0)
-            diff = F32(0.2) + F32(0.8) * diff
-            zero = jnp.zeros_like(diff)
-            acol = C4(diff * scol[0], diff * scol[1], diff * scol[2],
-                      zero)
             aux_dist = jnp.where(upd, sph_dist + s.cdist, aux_dist)
-            aux_refl = jnp.where(upd, srefl, aux_refl)
-            aux_pos = apos.where(upd, aux_pos)
-            aux_norm = anorm.where(upd, aux_norm)
-            aux_col = acol.where(upd, aux_col)
-        return (aux_dist, aux_refl, aux_pos, aux_norm, aux_col)
+            new = new | upd
+            w_sd = jnp.where(upd, sph_dist, w_sd)
+            w_idx = jnp.where(upd, siC, w_idx)
+        w_pos = V3(*(jnp.take(world.sph_pos[:, c], w_idx, mode="clip")
+                     for c in range(3)))
+        apos = s.pos + w_sd * s.ray
+        anorm = normalise_sse(apos - w_pos, math.rsq)
+        diff = jnp.maximum(-dot_sse(s.ray, anorm), 0.0)
+        diff = F32(0.2) + F32(0.8) * diff
+        return (aux_dist,
+                apos.where(new, s.aux_apos),
+                jnp.where(new, w_idx, s.aux_idx),
+                jnp.where(new, diff, s.aux_diff))
 
     return run
 
@@ -113,6 +121,17 @@ def make_env(world: W.WorldDev, meta: W.WorldMeta,
     # events), so it carries no per-cell sphere machinery at all.
     sphere_pass = (_sphere_pass(world, meta, math)
                    if cfg.parity and meta.k_bucket > 0 else None)
+
+    ns_total = world.sph_pos.shape[0]
+
+    def gather_sphere(idx):
+        iC = jnp.clip(idx, 0, ns_total - 1)
+        return (V3(*(jnp.take(world.sph_pos[:, c], iC, mode="clip")
+                     for c in range(3))),
+                jnp.take(world.sph_refl, iC, mode="clip"),
+                tuple(jnp.take(world.sph_col[:, c], iC, mode="clip")
+                      for c in range(3)))
+
     if cfg.parity:
         sphere_all = None
     else:
@@ -133,26 +152,19 @@ def make_env(world: W.WorldDev, meta: W.WorldMeta,
                    + world.sph_r[:meta.n_spheres].max())
             return V3(ctr[0], ctr[1], ctr[2]), rad
 
-        ns = world.sph_pos.shape[0]
-
-        def gather_sphere(idx):
-            iC = jnp.clip(idx, 0, ns - 1)
-            return (V3(*(jnp.take(world.sph_pos[:, c], iC, mode="clip")
-                         for c in range(3))),
-                    jnp.take(world.sph_refl, iC, mode="clip"),
-                    tuple(jnp.take(world.sph_col[:, c], iC, mode="clip")
-                          for c in range(3)))
-
         sphere_all = (make_sphere_all(
             meta.n_spheres, get_sphere, math, get_bound,
             sphere_page=meta.sphere_page if paged else None,
             gather_sphere=gather_sphere)
             if meta.n_spheres > 0 else None)
+    sphere_view = (make_sphere_view(gather_sphere, math)
+                   if (sphere_all is not None or sphere_pass is not None)
+                   else None)
     return Env(math=math, fetch=fetch, fetch_portal=fetch_portal,
                sphere_pass=sphere_pass,
                randfs=lambda s: lcg.randfs(s, jnp),
-               sphere_all=sphere_all, skip_ok=meta.has_clear,
-               paged=paged)
+               sphere_all=sphere_all, sphere_view=sphere_view,
+               skip_ok=meta.has_clear, paged=paged)
 
 
 def trace_wave(world: W.WorldDev, meta: W.WorldMeta, cfg: RenderConfig,

@@ -41,7 +41,8 @@ from ..core.ieee import div_rn, sqrt_rn
 from . import worlddev as W
 from .tracer_core import (CellFields, Env, Math, SegState,
                           decode_portal_word, make_sphere_all,
-                          trace_wave_env, xcls_compress)
+                          make_sphere_view, trace_wave_env,
+                          xcls_compress)
 from .vec import C4, V3, dot_sse, normalise_sse
 
 F32 = jnp.float32
@@ -165,8 +166,10 @@ def build_tables(world: W.WorldDev, meta: W.WorldMeta,
                + world.sph_r[:meta.n_spheres].max())
         sph = sph.at[NSPH_MAX, 0:3].set(ctr)
         sph = sph.at[NSPH_MAX, 3].set(rad)
+    # winner-record gather table (pos3/refl/col3 as per-lane gather
+    # rows); BOTH modes read it in seg_out_view's rematerialization
     spht = jnp.zeros((8, 128), jnp.float32)
-    if not parity and take > 0:
+    if take > 0:
         for ch, col in enumerate((0, 1, 2, 4, 5, 6, 7)):
             spht = spht.at[ch, :take].set(sph[:take, col])
     def bcast_u32(flat, chunks):
@@ -315,12 +318,12 @@ def _sphere_pass_pallas(mask_ref, sph_ref, n_spheres: int, math: Math,
         else:
             m = _chunked_gather(mask_ref, f.cell_idx, rows,
                                 chunks=wchunks)
-        aux_dist, aux_refl = s.aux_dist, s.aux_refl
+        aux_dist = s.aux_dist
         zero = jnp.zeros_like(s.pos.x)
         new = zero > F32(1.0)           # any update this step, per lane
         w_sd = zero                     # winner's raw sph_dist
         w_pos = V3(zero, zero, zero)    # winner's centre
-        w_col = (zero, zero, zero)      # winner's base colour
+        w_idx = jnp.zeros_like(s.aux_idx)
         for si in range(n_spheres):
             hit_slot = ((m >> si) & 1) > 0
             valid = (s.active != 0) & inb & hit_slot
@@ -341,23 +344,20 @@ def _sphere_pass_pallas(mask_ref, sph_ref, n_spheres: int, math: Math,
                    & ((aux_dist == F32(-1.0))
                       | (sph_dist + s.cdist < aux_dist)))
             aux_dist = jnp.where(upd, sph_dist + s.cdist, aux_dist)
-            aux_refl = jnp.where(upd, sph_ref[si, 4], aux_refl)
             new = new | upd
             w_sd = jnp.where(upd, sph_dist, w_sd)
             w_pos = spos.where(upd, w_pos)
-            w_col = tuple(jnp.where(upd, sph_ref[si, 5 + c], w_col[c])
-                          for c in range(3))
-        # shared shading of the winner (same float ops as in-loop)
+            w_idx = jnp.where(upd, si, w_idx)
+        # shared shading of the winner (same float ops as in-loop);
+        # the normal/colour rematerialize in seg_out_view
         apos = s.pos + w_sd * s.ray
         anorm = normalise_sse(apos - w_pos, math.rsq)
         diff = jnp.maximum(-dot_sse(s.ray, anorm), 0.0)
         diff = F32(0.2) + F32(0.8) * diff
-        acol = C4(diff * w_col[0], diff * w_col[1], diff * w_col[2],
-                  zero)
-        return (aux_dist, aux_refl,
-                apos.where(new, s.aux_pos),
-                anorm.where(new, s.aux_norm),
-                acol.where(new, s.aux_col))
+        return (aux_dist,
+                apos.where(new, s.aux_apos),
+                jnp.where(new, w_idx, s.aux_idx),
+                jnp.where(new, diff, s.aux_diff))
 
     return run
 
@@ -391,6 +391,16 @@ def _kernel(cfg: RenderConfig, n_spheres: int, lh: int, has_clear: bool,
                                        math, rows, _wchunks(lh),
                                        n_pages)
                    if cfg.parity and n_spheres > 0 else None)
+
+    def gather_sphere(idx):
+        def ch(row):
+            t = jnp.broadcast_to(spht_ref[row:row + 1, :],
+                                 idx.shape)
+            return jnp.take_along_axis(t, idx, axis=1)
+
+        return (V3(ch(0), ch(1), ch(2)), ch(3),
+                (ch(4), ch(5), ch(6)))
+
     if cfg.parity:
         sphere_all = None
     else:
@@ -403,23 +413,18 @@ def _kernel(cfg: RenderConfig, n_spheres: int, lh: int, has_clear: bool,
             return (V3(sph_ref[NSPH_MAX, 0], sph_ref[NSPH_MAX, 1],
                        sph_ref[NSPH_MAX, 2]), sph_ref[NSPH_MAX, 3])
 
-        def gather_sphere(idx):
-            def ch(row):
-                t = jnp.broadcast_to(spht_ref[row:row + 1, :],
-                                     idx.shape)
-                return jnp.take_along_axis(t, idx, axis=1)
-
-            return (V3(ch(0), ch(1), ch(2)), ch(3),
-                    (ch(4), ch(5), ch(6)))
-
         sphere_all = (make_sphere_all(
             n_spheres, get_sphere, math, get_bound,
             sphere_page=sphere_page if paged else None,
             gather_sphere=gather_sphere)
             if n_spheres > 0 else None)
+    sphere_view = (make_sphere_view(gather_sphere, math)
+                   if (sphere_all is not None or sphere_pass is not None)
+                   else None)
     env = Env(math=math, fetch=fetch, fetch_portal=fetch_portal,
               sphere_pass=sphere_pass, randfs=_randfs_i32,
-              sphere_all=sphere_all, skip_ok=has_clear, paged=paged)
+              sphere_all=sphere_all, sphere_view=sphere_view,
+              skip_ok=has_clear, paged=paged)
 
     ifrom = V3(fx[:], fy[:], fz[:])
     iray = V3(rx[:], ry[:], rz[:])
