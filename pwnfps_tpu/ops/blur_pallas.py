@@ -77,7 +77,22 @@ def _blur_kernel(h, w, hp, wp, fstr, fh, zb_ref, tab_ref, g0, g1, g2,
     # boundaries than the reference's per-frame arithmetic
     yf = yl.astype(F32)
     z = zb_ref[...] - F32(1.0)
-    keys, los = [], []
+    # Two-window column resolve: tap x offsets reach < 16 lanes
+    # (|fstr*(z-1)| < R-0.5 or the caller fell back), so an output
+    # chunk's taps span < 160 lanes - coverable by TWO 128-lane windows
+    # anchored at the chunk, against rolled copies of each halo row:
+    #   window A = rows rolled +16:  RA[l] = row[(l-16) mod wp], whose
+    #     chunk c covers source lanes [c*128-16, c*128+112)
+    #   window B = rows rolled -16:  RB[l] = row[(l+16) mod wp], whose
+    #     chunk c covers source lanes [c*128+16, c*128+144)
+    # Every tap of an output pixel in chunk c lands in A's or B's
+    # chunk-c window; the (row, chunk) key carries the tap's WINDOW
+    # chunk id, so a tap in the other window self-excludes (its id is
+    # c+-1), and a tap in both windows resolves to the same source
+    # pixel twice (idempotent).  2 keyed gathers per (row, tap)
+    # instead of the previous 3-neighbour-chunk scan's 3.
+    keys_a, keys_b, los_a, los_b = [], [], [], []
+    tymins, tymaxs = [], []
     for i in range(4):
         stx = (s1 * tab_ref[i:i + 1, :]
                + tab_ref[4 + i:5 + i, :]) & np.int32(0x7FFFFFFF)
@@ -91,13 +106,21 @@ def _blur_kernel(h, w, hp, wp, fstr, fh, zb_ref, tab_ref, g0, g1, g2,
         ty = yf + (ry * F32(fstr)) * z
         txi = jnp.clip(tx.astype(I32), 0, w - 1)
         tyi = jnp.clip(ty.astype(I32), 0, fh - 1) + base
+        la = txi + np.int32(16)
+        la = jnp.where(la >= np.int32(wp), la - np.int32(wp), la)
+        lb = txi - np.int32(16)
+        lb = jnp.where(lb < 0, lb + np.int32(wp), lb)
         # joint (row, lane-chunk) key; 32 > any chunk count we see
-        keys.append(tyi * np.int32(32) + _srl(txi, 7))
-        los.append(txi & np.int32(127))
+        keys_a.append(tyi * np.int32(32) + _srl(la, 7))
+        keys_b.append(tyi * np.int32(32) + _srl(lb, 7))
+        los_a.append(la & np.int32(127))
+        los_b.append(lb & np.int32(127))
+        tymins.append(tyi.min())
+        tymaxs.append(tyi.max())
     # tap row band of the block: taps reach +-fstr*(z-1) rows (a few,
     # typically), so most of the 5 halo groups can skip whole chunks
-    rmin = jnp.min(jnp.stack([_srl(k, 5).min() for k in keys]))
-    rmax = jnp.max(jnp.stack([_srl(k, 5).max() for k in keys]))
+    rmin = jnp.min(jnp.stack(tymins))
+    rmax = jnp.max(jnp.stack(tymaxs))
 
     grps = (g0, g1, g2, g3, g4)
     gbase = [jnp.clip(pid - 2 + g, 0, nblk - 1) * np.int32(BR)
@@ -108,26 +131,35 @@ def _blur_kernel(h, w, hp, wp, fstr, fh, zb_ref, tab_ref, g0, g1, g2,
 
     def make_scan(g):
         def scan():
+            grp = grps[g][...]
+            ra = jnp.concatenate([grp[:, wp - 16:], grp[:, :wp - 16]],
+                                 axis=1)
+            rb = jnp.concatenate([grp[:, 16:], grp[:, :16]], axis=1)
             for c in range(nc):
                 sl = slice(c * 128, (c + 1) * 128)
-                key_t = [k[:, sl] for k in keys]
-                lo_t = [lo[:, sl] for lo in los]
+                ka_t = [k[:, sl] for k in keys_a]
+                kb_t = [k[:, sl] for k in keys_b]
+                la_t = [lo[:, sl] for lo in los_a]
+                lb_t = [lo[:, sl] for lo in los_b]
                 acc = [scr[t][:, sl] for t in range(4)]
-                for gc in (c - 1, c, c + 1):
-                    if not 0 <= gc < nc:
-                        continue
-                    csl = slice(gc * 128, (gc + 1) * 128)
-                    reg = grps[g][:, csl]
-                    for r8 in range(BR):
-                        ch8 = jnp.broadcast_to(reg[r8:r8 + 1, :],
-                                               (BR, 128))
-                        key = (gbase[g] + np.int32(r8)) * np.int32(32) \
-                            + np.int32(gc)
-                        for t in range(4):
-                            cand = jnp.take_along_axis(ch8, lo_t[t],
-                                                       axis=1)
-                            acc[t] = jnp.where(key_t[t] == key, cand,
-                                               acc[t])
+                rega = ra[:, sl]
+                regb = rb[:, sl]
+                for r8 in range(BR):
+                    cha = jnp.broadcast_to(rega[r8:r8 + 1, :],
+                                           (BR, 128))
+                    chb = jnp.broadcast_to(regb[r8:r8 + 1, :],
+                                           (BR, 128))
+                    key = (gbase[g] + np.int32(r8)) * np.int32(32) \
+                        + np.int32(c)
+                    for t in range(4):
+                        cand = jnp.take_along_axis(cha, la_t[t],
+                                                   axis=1)
+                        acc[t] = jnp.where(ka_t[t] == key, cand,
+                                           acc[t])
+                        cand = jnp.take_along_axis(chb, lb_t[t],
+                                                   axis=1)
+                        acc[t] = jnp.where(kb_t[t] == key, cand,
+                                           acc[t])
                 for t in range(4):
                     scr[t][:, sl] = acc[t]
         return scan
