@@ -17,6 +17,7 @@ the XLA path via lax.cond, so `dof_blur_auto` is exact for every input.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -32,6 +33,11 @@ F32 = jnp.float32
 I32 = jnp.int32
 R = 16          # halo rows/cols: exact while fstr*|z-1| stays < R
 BR = 8          # output rows per grid step
+# dynamic row banding: scan only [rmin, rmax] of each live halo group
+# via a dynamic-trip fori + uniform sublane gather, instead of all 8
+# rows.  Off by default pending an on-chip win (the candidate rows
+# outside the true tap band are ~40% of the static scan).
+BAND = os.environ.get("PWNFPS_BLUR_BAND", "0") == "1"
 
 
 def _srl(x, n):
@@ -135,6 +141,9 @@ def _blur_kernel(h, w, hp, wp, fstr, fh, zb_ref, tab_ref, g0, g1, g2,
             ra = jnp.concatenate([grp[:, wp - 16:], grp[:, :wp - 16]],
                                  axis=1)
             rb = jnp.concatenate([grp[:, 16:], grp[:, :16]], axis=1)
+            if BAND:
+                glo = jnp.maximum(rmin - gbase[g], 0)
+                ghi = jnp.minimum(rmax - gbase[g], BR - 1)
             for c in range(nc):
                 sl = slice(c * 128, (c + 1) * 128)
                 ka_t = [k[:, sl] for k in keys_a]
@@ -144,22 +153,39 @@ def _blur_kernel(h, w, hp, wp, fstr, fh, zb_ref, tab_ref, g0, g1, g2,
                 acc = [scr[t][:, sl] for t in range(4)]
                 rega = ra[:, sl]
                 regb = rb[:, sl]
-                for r8 in range(BR):
-                    cha = jnp.broadcast_to(rega[r8:r8 + 1, :],
-                                           (BR, 128))
-                    chb = jnp.broadcast_to(regb[r8:r8 + 1, :],
-                                           (BR, 128))
-                    key = (gbase[g] + np.int32(r8)) * np.int32(32) \
-                        + np.int32(c)
+
+                def taps(cha, chb, key, acc):
+                    out = list(acc)
                     for t in range(4):
                         cand = jnp.take_along_axis(cha, la_t[t],
                                                    axis=1)
-                        acc[t] = jnp.where(ka_t[t] == key, cand,
-                                           acc[t])
+                        out[t] = jnp.where(ka_t[t] == key, cand,
+                                           out[t])
                         cand = jnp.take_along_axis(chb, lb_t[t],
                                                    axis=1)
-                        acc[t] = jnp.where(kb_t[t] == key, cand,
-                                           acc[t])
+                        out[t] = jnp.where(kb_t[t] == key, cand,
+                                           out[t])
+                    return out
+
+                if BAND:
+                    def rbody(r8, acc4):
+                        ridx = jnp.full((BR, 128), r8, I32)
+                        cha = jnp.take_along_axis(rega, ridx, axis=0)
+                        chb = jnp.take_along_axis(regb, ridx, axis=0)
+                        key = (gbase[g] + r8) * np.int32(32) \
+                            + np.int32(c)
+                        return tuple(taps(cha, chb, key, list(acc4)))
+                    acc = list(jax.lax.fori_loop(glo, ghi + 1, rbody,
+                                                 tuple(acc)))
+                else:
+                    for r8 in range(BR):
+                        cha = jnp.broadcast_to(rega[r8:r8 + 1, :],
+                                               (BR, 128))
+                        chb = jnp.broadcast_to(regb[r8:r8 + 1, :],
+                                               (BR, 128))
+                        key = (gbase[g] + np.int32(r8)) * np.int32(32) \
+                            + np.int32(c)
+                        acc = taps(cha, chb, key, acc)
                 for t in range(4):
                     scr[t][:, sl] = acc[t]
         return scan
