@@ -5,9 +5,9 @@ random gather ([4,h,w] indices into the 2M-pixel frame).  But the tap
 offsets are trunc(r * 0.002*h * (z-1)) with |r| <= 1, so for game-scale
 depth they stay within a few pixels of the source.  This kernel keeps
 the whole framebuffer in VMEM and resolves each tap by scanning the
-2*R+8 candidate rows x 3 aligned lane-chunks around each output tile
-with hardware per-lane gathers — O(R) vector ops instead of a random
-HBM gather.
+2*R+8 candidate rows around each output tile with hardware per-lane
+gathers against two +-16-lane rolled windows (see _blur_kernel) —
+O(R) vector ops instead of a random HBM gather.
 
 Exactness: bit-identical to ops/blur.py (same LCG jump tables, same
 float expression order, same truncation/clamp/SWAR-average).  A frame
@@ -54,9 +54,10 @@ def _blur_kernel(h, w, hp, wp, fstr, fh, zb_ref, tab_ref, g0, g1, g2,
     """One grid step blurs BR output rows.  The candidate source rows
     [y0-R, y0+BR+R) arrive as five 8-row aligned block views g0..g4
     (BlockSpec index maps i-2..i+2, clipped at the frame edges), so
-    every VMEM access is static — Mosaic has no dynamic sublane loads.
-    Each tap is resolved by scanning the 5x8 candidate rows x 3 lane
-    chunks with per-lane gathers keyed on (row, chunk).
+    block fetches stay static.  Each tap is resolved by scanning the
+    5x8 candidate rows with per-lane gathers keyed on (row, chunk)
+    against two +-16-lane rolled windows of each row (2 keyed gathers
+    per (row, tap); see the window derivation at the key setup).
 
     The row-band gate is ONE pl.when per halo group wrapping the whole
     width (tap accumulators live in the a0..a3 VMEM scratch): the
