@@ -119,7 +119,18 @@ def main(argv=None) -> int:
     p.add_argument("--backend", default="jnp", choices=["jnp", "pallas"])
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax profiler trace into DIR")
+    p.add_argument("--platform", default=None,
+                   help="force a jax platform (e.g. cpu): a plugin "
+                        "device whose transport is down hangs backend "
+                        "init forever, and a sitecustomize that "
+                        "force-registers it makes JAX_PLATFORMS inert "
+                        "- jax.config set before first backend use is "
+                        "the one switch that always wins")
     args = p.parse_args(argv)
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
 
     cfg = RenderConfig(width=args.width, height=args.height,
                        scale=args.scale, parity=args.parity,
