@@ -55,18 +55,48 @@ class Math(NamedTuple):
 
 
 class CellFields(NamedTuple):
-    """Per-cell channels needed on the common stepping path.
+    """The current cell's channels, packed in ONE carried i32 plane.
 
-    xcls2 compresses the behind-cell class for the 2-high wall check
-    (trace.h:404-440) to {0: other, 1: tall-like, 2: lower}; portal
-    fields live behind Env.fetch_portal (rare, fetched lazily)."""
+    Bit layout (the pallas compact-word entry, shared verbatim):
+      0-3  cls            4-5  xcls2 ({0: other, 1: tall-like, 2: lower},
+                               the 2-high wall check, trace.h:404-440)
+      6    has_sph        7-10 runx (empty-space skip)
+      11-14 runz          15-19 nsph bucket count (jnp backend only;
+                               the pallas parity scan uses its bucket
+                               bit-plane instead)
+    Carrying the packed entry instead of six decoded planes trades ~4
+    shift/and ops per step for 5 fewer loop-carried planes and one
+    where() instead of six at the post-step select.  The flat cell
+    index is NOT carried: the rare consumers (portal fetch, parity
+    bucket scan) recompute it from (cx, cz, page) inside their cond.
+    Portal fields live behind Env.fetch_portal (rare, fetched lazily).
+    """
 
-    cls: jnp.ndarray
-    xcls2: jnp.ndarray
-    nsph: jnp.ndarray       # >0 iff the cell has sphere buckets
-    cell_idx: jnp.ndarray   # clamped flat index (for bucket lookups)
-    runx: jnp.ndarray       # same-class run along x (empty-space skip)
-    runz: jnp.ndarray       # same-class run along z
+    ent: jnp.ndarray
+
+    @property
+    def cls(self):
+        return self.ent & 0xF
+
+    @property
+    def xcls2(self):
+        return (self.ent >> 4) & 3
+
+    @property
+    def has_sph(self):
+        return (self.ent >> 6) & 1
+
+    @property
+    def runx(self):
+        return (self.ent >> 7) & 0xF
+
+    @property
+    def runz(self):
+        return (self.ent >> 11) & 0xF
+
+    @property
+    def nsph(self):
+        return (self.ent >> 15) & 0x1F
 
 
 class Env(NamedTuple):
@@ -102,18 +132,35 @@ def xcls_compress(xcls):
                      jnp.where(xcls == W.LOWER, 2, 0))
 
 
-def decode_word(w, cell_idx) -> CellFields:
+def decode_word(w) -> CellFields:
+    """Pack the full world word into the carried compact entry (the
+    same bit layout the pallas cword table stores, + the bucket count
+    in bits 15-19 for the jnp parity scan)."""
     cls = W.w_cls(w)
     # portal cells keep their biased pdcx/pdcz in the run bits
     not_p = cls != W.PORTAL
-    return CellFields(cls=cls, xcls2=xcls_compress(W.w_xcls(w)),
-                      nsph=W.w_nsph(w), cell_idx=cell_idx,
-                      runx=jnp.where(not_p, W.w_runx(w), 0),
-                      runz=jnp.where(not_p, W.w_runz(w), 0))
+    nsph = W.w_nsph(w)
+    ent = (cls | (xcls_compress(W.w_xcls(w)) << 4)
+           | (jnp.where(nsph > 0, 1, 0) << 6)
+           | (jnp.where(not_p, W.w_runx(w), 0) << 7)
+           | (jnp.where(not_p, W.w_runz(w), 0) << 11)
+           | (nsph << 15))
+    return CellFields(ent=ent)
 
 
 def decode_portal_word(w):
     return (W.w_pkind(w), W.w_prot(w), W.w_pdcx(w), W.w_pdcz(w))
+
+
+def cell_index(s) -> jnp.ndarray:
+    """Clamped flat index of the lane's current cell — the fetch
+    formula (OOB lanes read cell 0 of their page).  Recomputed inside
+    the rare conds that need it instead of being loop-carried."""
+    inb = (s.cx >= 0) & (s.cx < 64) & (s.cz >= 0) & (s.cz < 64)
+    idx = jnp.where(inb, s.cz * 64 + s.cx, 0)
+    if s.page is not None:
+        idx = idx + s.page * 4096
+    return idx
 
 
 class SegState(NamedTuple):
@@ -121,7 +168,7 @@ class SegState(NamedTuple):
     ray: V3
     iavel: V3
     wdist: V3
-    fields: CellFields        # decoded channels of the current cell
+    fields: CellFields        # packed entry of the current cell (1 plane)
     gx: jnp.ndarray
     gy: jnp.ndarray
     gz: jnp.ndarray
@@ -175,7 +222,7 @@ class SegOut(NamedTuple):
 
 
 def _sel_fields(m, a: CellFields, b: CellFields) -> CellFields:
-    return CellFields(*(jnp.where(m, x, y) for x, y in zip(a, b)))
+    return CellFields(ent=jnp.where(m, a.ent, b.ent))
 
 
 _FIRE_NONE = 3.0e38     # aux_fire sentinel while no candidate is pending
@@ -505,7 +552,7 @@ def compute_flags(s: SegState, env: Env) -> jnp.ndarray:
     elif env.sphere_pass is not None:
         # parity mode: bit1 = some lane stands in a bucketed cell
         inb = (s.cx >= 0) & (s.cx < 64) & (s.cz >= 0) & (s.cz < 64)
-        trig = act & inb & (f.nsph > 0)
+        trig = act & inb & (f.has_sph != 0)
         v = v | jnp.where(trig, 2, 0)
     v = v | jnp.where(act & (f.cls == W.PORTAL), 4, 0)
     return jnp.max(v & 3) | jnp.where(jnp.max(v) >= 4, 4, 0)
@@ -532,12 +579,11 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig,
     # yielded lane, so returning the whole SegState here costs more
     # than the event math it skips.
     def portal_calc(s_):
-        f_ = s_.fields
+        cidx = cell_index(s_)
         if env.paged:
-            pkind, prot, pdcx, pdcz, dpage = env.fetch_portal(
-                f_.cell_idx)
+            pkind, prot, pdcx, pdcz, dpage = env.fetch_portal(cidx)
         else:
-            pkind, prot, pdcx, pdcz = env.fetch_portal(f_.cell_idx)
+            pkind, prot, pdcx, pdcz = env.fetch_portal(cidx)
             dpage = s_.cx  # placeholder, unused
         cxp = s_.cx + pdcx
         czp = s_.cz + pdcz

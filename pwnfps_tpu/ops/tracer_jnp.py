@@ -17,8 +17,8 @@ from ..core.config import RenderConfig
 from ..core.ieee import div_rn, sqrt_rn
 from . import worlddev as W
 from .tracer_core import (CellFields, Env, Math, SegState,  # noqa: F401
-                          col_ftoint, decode_portal_word, decode_word,
-                          make_sphere_all, make_sphere_view,
+                          cell_index, col_ftoint, decode_portal_word,
+                          decode_word, make_sphere_all, make_sphere_view,
                           trace_wave_env)
 from .vec import C4, V3, dot_sse, normalise_sse
 
@@ -55,12 +55,13 @@ def _sphere_pass(world: W.WorldDev, meta: W.WorldMeta, math: Math):
         # normal/colour themselves rematerialize once per segment in
         # seg_out_view (bit-identical: same inputs, same expressions)
         aux_dist = s.aux_dist
+        cidx = cell_index(s)
         zero = jnp.zeros_like(s.pos.x)
         new = zero > F32(1.0)
         w_sd = zero
         w_idx = jnp.zeros_like(s.aux_idx)
         for k in range(meta.k_bucket):
-            si = jnp.take(world.buckets, f.cell_idx * K + k, mode="clip")
+            si = jnp.take(world.buckets, cidx * K + k, mode="clip")
             valid = (s.active != 0) & inb & (k < f.nsph) & (si >= 0)
             siC = jnp.clip(si, 0, ns - 1)
             spos = V3(jnp.take(world.sph_pos[:, 0], siC, mode="clip"),
@@ -109,7 +110,7 @@ def make_env(world: W.WorldDev, meta: W.WorldMeta,
         if paged:
             idx = idx + page * 4096
         w = jnp.take(world.word, idx, mode="clip")
-        return decode_word(w, idx)
+        return decode_word(w)
 
     def fetch_portal(cell_idx):
         w = jnp.take(world.word, cell_idx, mode="clip")

@@ -40,9 +40,9 @@ from ..core.config import RenderConfig
 from ..core.ieee import div_rn, sqrt_rn
 from . import worlddev as W
 from .tracer_core import (CellFields, Env, Math, SegState,
-                          decode_portal_word, make_sphere_all,
-                          make_sphere_view, trace_wave_env,
-                          xcls_compress)
+                          cell_index, decode_portal_word,
+                          make_sphere_all, make_sphere_view,
+                          trace_wave_env, xcls_compress)
 from .vec import C4, V3, dot_sse, normalise_sse
 
 F32 = jnp.float32
@@ -230,9 +230,7 @@ def _compact_fetch(cword_ref, cx, cz, rows, chunks, page=None,
     else:
         word = _chunked_gather(cword_ref, idx >> 1, rows, chunks=chunks)
     ent = (word >> ((idx & 1) * 16)) & 0x7FFF
-    return CellFields(cls=ent & 0xF, xcls2=(ent >> 4) & 3,
-                      nsph=(ent >> 6) & 1, cell_idx=idx,
-                      runx=(ent >> 7) & 0xF, runz=(ent >> 11) & 0xF)
+    return CellFields(ent=ent)
 
 
 def _pack_bgra_i32(col: C4):
@@ -312,11 +310,12 @@ def _sphere_pass_pallas(mask_ref, sph_ref, n_spheres: int, math: Math,
     fewer vector ops and (in parity mode) 14x fewer table-gather
     rsqrt calls per gated step."""
     def run(s: SegState, inb, f: CellFields):
+        cidx = cell_index(s)
         if n_pages > 1:
-            m = _chunked_gather_paged(mask_ref, f.cell_idx,
+            m = _chunked_gather_paged(mask_ref, cidx,
                                       wchunks * n_pages)
         else:
-            m = _chunked_gather(mask_ref, f.cell_idx, rows,
+            m = _chunked_gather(mask_ref, cidx, rows,
                                 chunks=wchunks)
         aux_dist = s.aux_dist
         zero = jnp.zeros_like(s.pos.x)
