@@ -152,15 +152,22 @@ def decode_portal_word(w):
     return (W.w_pkind(w), W.w_prot(w), W.w_pdcx(w), W.w_pdcz(w))
 
 
-def cell_index(s) -> jnp.ndarray:
-    """Clamped flat index of the lane's current cell — the fetch
-    formula (OOB lanes read cell 0 of their page).  Recomputed inside
-    the rare conds that need it instead of being loop-carried."""
-    inb = (s.cx >= 0) & (s.cx < 64) & (s.cz >= 0) & (s.cz < 64)
-    idx = jnp.where(inb, s.cz * 64 + s.cx, 0)
-    if s.page is not None:
-        idx = idx + s.page * 4096
+def flat_cell_index(cx, cz, page=None) -> jnp.ndarray:
+    """THE clamped flat-index formula (OOB lanes read cell 0 of their
+    page).  Single source: both backends' fetches and the rare-cond
+    recompute (cell_index) must stay bit-identical, so they all call
+    this."""
+    inb = (cx >= 0) & (cx < 64) & (cz >= 0) & (cz < 64)
+    idx = jnp.where(inb, cz * 64 + cx, 0)
+    if page is not None:
+        idx = idx + page * 4096
     return idx
+
+
+def cell_index(s) -> jnp.ndarray:
+    """Flat index of the lane's current cell, recomputed inside the
+    rare conds that need it instead of being loop-carried."""
+    return flat_cell_index(s.cx, s.cz, s.page)
 
 
 class SegState(NamedTuple):

@@ -18,8 +18,8 @@ from ..core.ieee import div_rn, sqrt_rn
 from . import worlddev as W
 from .tracer_core import (CellFields, Env, Math, SegState,  # noqa: F401
                           cell_index, col_ftoint, decode_portal_word,
-                          decode_word, make_sphere_all, make_sphere_view,
-                          trace_wave_env)
+                          decode_word, flat_cell_index, make_sphere_all,
+                          make_sphere_view, trace_wave_env)
 from .vec import C4, V3, dot_sse, normalise_sse
 
 F32 = jnp.float32
@@ -105,10 +105,7 @@ def make_env(world: W.WorldDev, meta: W.WorldMeta,
     paged = meta.n_pages > 1
 
     def fetch(cx, cz, page) -> CellFields:
-        inb = (cx >= 0) & (cx < 64) & (cz >= 0) & (cz < 64)
-        idx = jnp.where(inb, cz * 64 + cx, 0)
-        if paged:
-            idx = idx + page * 4096
+        idx = flat_cell_index(cx, cz, page if paged else None)
         w = jnp.take(world.word, idx, mode="clip")
         return decode_word(w)
 

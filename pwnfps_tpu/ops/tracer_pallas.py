@@ -41,8 +41,9 @@ from ..core.ieee import div_rn, sqrt_rn
 from . import worlddev as W
 from .tracer_core import (CellFields, Env, Math, SegState,
                           cell_index, decode_portal_word,
-                          make_sphere_all, make_sphere_view,
-                          trace_wave_env, xcls_compress)
+                          flat_cell_index, make_sphere_all,
+                          make_sphere_view, trace_wave_env,
+                          xcls_compress)
 from .vec import C4, V3, dot_sse, normalise_sse
 
 F32 = jnp.float32
@@ -221,10 +222,8 @@ def _compact_fetch(cword_ref, cx, cz, rows, chunks, page=None,
     """Common-path fields from the 2-cells-per-int32 table: one chunked
     gather + halfword extract.  Cells beyond the table (grid rows >=
     meta.lh) miss every chunk and read 0 == the pad cells' entry."""
-    inb = (cx >= 0) & (cx < 64) & (cz >= 0) & (cz < 64)
-    idx = jnp.where(inb, cz * 64 + cx, 0)
+    idx = flat_cell_index(cx, cz, page if n_pages > 1 else None)
     if n_pages > 1:
-        idx = idx + page * 4096
         word = _chunked_gather_paged(cword_ref, idx >> 1,
                                      chunks * n_pages)
     else:

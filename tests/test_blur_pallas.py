@@ -57,6 +57,39 @@ def test_blur_pallas_multipass():
     assert (got == want).all()
 
 
+def test_blur_band_bitexact_subprocess():
+    """PWNFPS_BLUR_BAND=1 (dynamic row banding) must stay bit-identical
+    to the XLA path.  The flag is read at module import, so the banded
+    kernel runs in a subprocess with the env set."""
+    import os
+    import subprocess
+    import sys
+    code = (
+        "import jax, numpy as np, jax.numpy as jnp\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "from jax.experimental.pallas import tpu as pltpu\n"
+        "from pwnfps_tpu.ops.blur import dof_blur\n"
+        "from pwnfps_tpu.ops.blur_pallas import BAND, dof_blur_auto\n"
+        "assert BAND, 'env flag not picked up'\n"
+        "rng = np.random.default_rng(7)\n"
+        "h, w = 48, 256\n"
+        "fb = jnp.asarray(rng.integers(0, 2**32, (h, w),"
+        " dtype=np.uint64).astype(np.uint32))\n"
+        "z = jnp.asarray(rng.uniform(1.0, 7.0, (h, w))"
+        ".astype(np.float32))\n"
+        "with pltpu.force_tpu_interpret_mode():\n"
+        "    got = np.asarray(dof_blur_auto(fb, z, 1))\n"
+        "want = np.asarray(jax.jit(dof_blur)(fb, z))\n"
+        "assert (got == want).all(), (got != want).sum()\n"
+        "print('band ok')\n"
+    )
+    env = dict(os.environ, PWNFPS_BLUR_BAND="1")
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=900)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "band ok" in out.stdout
+
+
 def test_blur_batched_frames_bitexact():
     """frame_h < h blurs vertically stacked camera frames exactly as
     per-frame blurs (the multicam path, parallel/sharding.py)."""
