@@ -87,6 +87,15 @@ class RenderConfig:
     # page the camera stands in (multi-page world atlases; see
     # ops/worlddev.py "Paged worlds")
     cam_page: int = 0
+    # pack the DDA while-carry's small-integer planes (gx/gy/gz sign
+    # bits, ldir, active, sph_dirty, aux_idx, tmeta, page) into ONE
+    # i32 word and cx/cz into one 2x16-bit word at chunk boundaries:
+    # 32 -> 23 carried (64,128) planes (the compact-aux-record change
+    # measured ~0.08 ms/plane of while-carry traffic on chip).
+    # Lossless by range (ldir<=5, tmeta<=15, aux_idx<=15, |cx|,|cz| <
+    # 64 + 16*maxsteps < 2^15, page < 2^10), so bit-exact: pack/unpack
+    # is the identity and segment_body itself is untouched.
+    pack_carry: bool = True
     # fused wave loop (fast mode): terminated lanes shade and restart
     # their bounce segment inside ONE DDA loop instead of waiting for a
     # per-wave barrier - a tile executes max_lane(total steps) rather

@@ -125,6 +125,10 @@ class Env(NamedTuple):
     # static: multi-page world atlas (SegState.page lanes live, portal
     # traversal may switch pages).  False strips every page op.
     paged: bool = False
+    # static page count (paged worlds): pages pack into the carry word
+    # when they fit its 14 spare bits (see _pack_carry), else the page
+    # plane is carried separately.
+    n_pages: int = 1
 
 
 def xcls_compress(xcls):
@@ -973,6 +977,53 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig,
 
 
 
+def _pack_carry(s: SegState, profile: bool, pack_page: bool):
+    """Fold the small-integer SegState planes into two i32 words for
+    the while-loop carry (cfg.pack_carry).  Lossless by range — see
+    the RenderConfig.pack_carry note — so unpack∘pack is the identity
+    and the loop stays bit-exact while carrying 9 (11 with page/tstep)
+    fewer (64,128) planes per iteration."""
+    def neg(g):  # gx/gy/gz ∈ {-1, +1} -> sign bit
+        return jnp.where(g < 0, 1, 0).astype(s.ldir.dtype)
+    mw = (neg(s.gx) | (neg(s.gy) << 1) | (neg(s.gz) << 2)
+          | (s.ldir << 3) | (s.active << 6) | (s.sph_dirty << 7)
+          | (s.aux_idx << 9) | (s.tmeta << 13))
+    if pack_page:
+        mw = mw | (s.page << 17)
+    cc = (s.cx & 0xFFFF) | (s.cz << 16)
+    t = (s.pos, s.ray, s.iavel, s.wdist, s.fields.ent, s.cdist, s.fog,
+         s.aux_dist, s.aux_t0, s.aux_apos, s.aux_diff, mw, cc)
+    if s.page is not None and not pack_page:
+        t = t + (s.page,)
+    # profile=False: tstep is identically zero until the post-loop sky
+    # write — reconstructed in _unpack_carry instead of carried
+    return t + ((s.tstep,) if profile else ())
+
+
+def _unpack_carry(t, paged: bool, profile: bool,
+                  pack_page: bool) -> SegState:
+    (pos, ray, iavel, wdist, ent, cdist, fog, aux_dist, aux_t0,
+     aux_apos, aux_diff, mw, cc) = t[:13]
+    rest = list(t[13:])
+    if paged:
+        page = (mw >> 17) & 0x3FFF if pack_page else rest.pop(0)
+    else:
+        page = None
+    return SegState(
+        pos=pos, ray=ray, iavel=iavel, wdist=wdist,
+        fields=CellFields(ent=ent),
+        gx=1 - 2 * (mw & 1), gy=1 - 2 * ((mw >> 1) & 1),
+        gz=1 - 2 * ((mw >> 2) & 1),
+        cx=(cc << 16) >> 16, cz=cc >> 16,
+        page=page,
+        cdist=cdist, fog=fog, ldir=(mw >> 3) & 7,
+        active=(mw >> 6) & 1,
+        aux_dist=aux_dist, aux_t0=aux_t0, sph_dirty=(mw >> 7) & 3,
+        aux_apos=aux_apos, aux_idx=(mw >> 9) & 15, aux_diff=aux_diff,
+        tmeta=(mw >> 13) & 15,
+        tstep=rest.pop(0) if profile else jnp.zeros_like(mw))
+
+
 def run_segment(env: Env, cfg: RenderConfig, ifrom: V3, iray: V3,
                 active, page=None) -> SegOut:
     chunk = max(1, cfg.step_chunk)
@@ -986,6 +1037,8 @@ def run_segment(env: Env, cfg: RenderConfig, ifrom: V3, iray: V3,
     if env.sphere_all is not None:
         s0 = _apply_aux(s0, env.sphere_all(s0, s0.active != 0))
     fl0 = compute_flags(s0, env)
+    pack = cfg.pack_carry
+    pack_page = env.paged and env.n_pages <= 0x4000
 
     def cond(carry):
         step, fl, s = carry
@@ -993,6 +1046,8 @@ def run_segment(env: Env, cfg: RenderConfig, ifrom: V3, iray: V3,
 
     def body(carry):
         step, fl, s = carry
+        if pack:
+            s = _unpack_carry(s, env.paged, cfg.profile, pack_page)
         for k in range(chunk):
             if cfg.profile:
                 prev = s.active
@@ -1002,9 +1057,14 @@ def run_segment(env: Env, cfg: RenderConfig, ifrom: V3, iray: V3,
                 died = (prev != 0) & (s.active == 0)
                 s = s._replace(
                     tstep=jnp.where(died, step + 1 + k, s.tstep))
+        if pack:
+            s = _pack_carry(s, cfg.profile, pack_page)
         return (step + chunk, fl, s)
 
-    _, _, s = jax.lax.while_loop(cond, body, (jnp.int32(0), fl0, s0))
+    c0 = _pack_carry(s0, cfg.profile, pack_page) if pack else s0
+    _, _, s = jax.lax.while_loop(cond, body, (jnp.int32(0), fl0, c0))
+    if pack:
+        s = _unpack_carry(s, env.paged, cfg.profile, pack_page)
     # still-active rays ran out of steps: sky colour = current ray dir
     # (the carried ray IS the terminal ray, nothing to write)
     left = s.active != 0

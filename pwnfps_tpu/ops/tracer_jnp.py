@@ -162,7 +162,8 @@ def make_env(world: W.WorldDev, meta: W.WorldMeta,
                sphere_pass=sphere_pass,
                randfs=lambda s: lcg.randfs(s, jnp),
                sphere_all=sphere_all, sphere_view=sphere_view,
-               skip_ok=meta.has_clear, paged=paged)
+               skip_ok=meta.has_clear, paged=paged,
+               n_pages=meta.n_pages)
 
 
 def trace_wave(world: W.WorldDev, meta: W.WorldMeta, cfg: RenderConfig,

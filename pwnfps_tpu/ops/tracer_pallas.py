@@ -422,7 +422,7 @@ def _kernel(cfg: RenderConfig, n_spheres: int, lh: int, has_clear: bool,
     env = Env(math=math, fetch=fetch, fetch_portal=fetch_portal,
               sphere_pass=sphere_pass, randfs=_randfs_i32,
               sphere_all=sphere_all, sphere_view=sphere_view,
-              skip_ok=has_clear, paged=paged)
+              skip_ok=has_clear, paged=paged, n_pages=n_pages)
 
     ifrom = V3(fx[:], fy[:], fz[:])
     iray = V3(rx[:], ry[:], rz[:])

@@ -38,6 +38,8 @@ def main() -> int:
     ap.add_argument("--nospheres", action="store_true")
     ap.add_argument("--noskip", action="store_true",
                     help="disable the empty-space run-length skip")
+    ap.add_argument("--nopack", action="store_true",
+                    help="disable the packed while-carry (cfg.pack_carry)")
     ap.add_argument("--maxsteps", type=int, default=1000)
     args = ap.parse_args()
 
@@ -75,7 +77,8 @@ def main() -> int:
                        maxsteps=args.maxsteps, reflect=args.reflect,
                        postproc_blur=0 if args.noblur else 1,
                        fused=args.fuse,
-                       space_skip=not args.noskip)
+                       space_skip=not args.noskip,
+                       pack_carry=not args.nopack)
 
     cam = mat4_identity()
     sx, sz = lv.spawn
