@@ -544,29 +544,29 @@ def _terminate(s: SegState, mask, kind, dist=None) -> SegState:
 
 def compute_flags(s: SegState, env: Env) -> jnp.ndarray:
     """Packed tile-uniform gates: bit0 any-active (the while cond),
-    bit1 sphere-scan trigger, bit2 portal trigger.  Evaluated on the
-    post-step state, so the next step's branches need no reductions.
+    bit1 any rare EVENT lane (sphere-scan trigger OR portal cell).
+    Evaluated on the post-step state, so the next step's branches need
+    no reductions.
 
-    NB a plain max over the packed lanes is NOT a bitwise or (a portal
-    lane's 5 would shadow a sphere lane's 3), so this reduces twice:
-    max(v & 3) is exact for bits 0-1 (the sphere trigger implies
-    active, so v & 3 is in {0,1,3}), and max(v) >= 4 is exact for
-    bit 2."""
+    The two event kinds share one bit because no consumer ever splits
+    them: segment_body's single merged cond runs both bodies (each is
+    per-lane masked, so cross-firing computes values no lane consumes).
+    With every set bit implying the active bit, v ∈ {0, 1, 3} and ONE
+    cross-lane max IS the bitwise or — the second reduction the old
+    bit0-2 encoding needed is gone."""
     act = s.active != 0
     f = s.fields
-    v = jnp.where(act, 1, 0)
+    ev = act & (f.cls == W.PORTAL)
     if env.sphere_all is not None:
-        # fast mode: bit1 = some lane's hoisted candidates need
-        # re-deriving after a line-change event (portal/y-shift/ramp)
-        trig = act & ((s.sph_dirty & 1) != 0)
-        v = v | jnp.where(trig, 2, 0)
+        # fast mode: some lane's hoisted candidates need re-deriving
+        # after a line-change event (portal/y-shift/ramp)
+        ev = ev | (act & ((s.sph_dirty & 1) != 0))
     elif env.sphere_pass is not None:
-        # parity mode: bit1 = some lane stands in a bucketed cell
+        # parity mode: some lane stands in a bucketed cell
         inb = (s.cx >= 0) & (s.cx < 64) & (s.cz >= 0) & (s.cz < 64)
-        trig = act & inb & (f.has_sph != 0)
-        v = v | jnp.where(trig, 2, 0)
-    v = v | jnp.where(act & (f.cls == W.PORTAL), 4, 0)
-    return jnp.max(v & 3) | jnp.where(jnp.max(v) >= 4, 4, 0)
+        ev = ev | (act & inb & (f.has_sph != 0))
+    v = jnp.where(act, 1, 0) | jnp.where(ev, 2, 0)
+    return jnp.max(v)
 
 
 def segment_body(s: SegState, env: Env, cfg: RenderConfig,
@@ -657,7 +657,7 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig,
         # candidate (reference aux persistence across such events).
         refresh = (s.sph_dirty & 1) != 0
         out = jax.lax.cond(
-            (flags & 6) > 0,
+            (flags & 2) > 0,
             lambda op: (env.sphere_all(op[0], op[1], merge=True)
                         + portal_calc(op[0])),
             lambda op: (op[0].aux_dist, op[0].aux_apos, op[0].aux_idx,
@@ -674,7 +674,7 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig,
         # ray stands in a bucketed cell (or a portal fires - harmless,
         # the per-lane valid mask registers nothing then).
         out = jax.lax.cond(
-            (flags & 6) > 0,
+            (flags & 2) > 0,
             lambda op: env.sphere_pass(*op) + portal_calc(op[0]),
             lambda op: (op[0].aux_dist, op[0].aux_apos, op[0].aux_idx,
                         op[0].aux_diff) + portal_skip(op[0]),
@@ -682,7 +682,7 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig,
         aux, pout = out[:4], out[4:]
         s = _apply_aux(s, aux)
     else:
-        pout = jax.lax.cond((flags & 4) > 0, portal_calc, portal_skip,
+        pout = jax.lax.cond((flags & 2) > 0, portal_calc, portal_skip,
                             s)
 
     is_floorish = (cls == W.FLOOR) | (cls == W.FOG) | (cls == W.LOWER)
@@ -1112,18 +1112,19 @@ class FusedAcc(NamedTuple):
 
 def compute_flags_fused(s: SegState, acc: FusedAcc,
                         env: Env) -> jnp.ndarray:
-    """Fused-loop gates: bit0 any-active, bit1 refresh, bit2 portal,
-    bit3 unprocessed death.  Three exact reductions (bit1 implies bit0,
-    so one max covers both; bits 2 and 3 are independent)."""
+    """Fused-loop gates: bit0 any-active, bit1 any EVENT lane
+    (sphere refresh OR portal — segment_body's merged-cond encoding,
+    see compute_flags), bit3 unprocessed death.  Two exact reductions
+    (every v bit implies the active bit, so one max covers bits 0-1;
+    bit 3 is independent)."""
     act = s.active != 0
-    v = jnp.where(act, 1, 0)
+    ev = act & (s.fields.cls == W.PORTAL)
     if env.sphere_all is not None:
-        v = v | jnp.where(act & ((s.sph_dirty & 1) != 0), 2, 0)
+        ev = ev | (act & ((s.sph_dirty & 1) != 0))
+    v = jnp.where(act, 1, 0) | jnp.where(ev, 2, 0)
     unproc = (~act) & (s.tmeta != 0) & (acc.done == 0)
-    b01 = jnp.max(v)
-    b2 = jnp.max(jnp.where(act & (s.fields.cls == W.PORTAL), 1, 0))
     b3 = jnp.max(jnp.where(unproc, 1, 0))
-    return b01 | (b2 << 2) | (b3 << 3)
+    return jnp.max(v) | (b3 << 3)
 
 
 def _process_deaths(s: SegState, acc: FusedAcc, env: Env,
