@@ -92,9 +92,10 @@ class RenderConfig:
     # i32 word and cx/cz into one 2x16-bit word at chunk boundaries:
     # 32 -> 23 carried (64,128) planes (the compact-aux-record change
     # measured ~0.08 ms/plane of while-carry traffic on chip).
-    # Lossless by range (ldir<=5, tmeta<=15, aux_idx<=15, |cx|,|cz| <
-    # 64 + 16*maxsteps < 2^15, page < 2^10), so bit-exact: pack/unpack
-    # is the identity and segment_body itself is untouched.
+    # Lossless by range (ldir<=5, tmeta<=15, aux_idx<2^10 - guarded at
+    # make_env, |cx|,|cz| < 64 + 16*maxsteps < 2^15, page<=16 - the
+    # worlddev build bound), so bit-exact: pack/unpack is the identity
+    # and segment_body itself is untouched.
     pack_carry: bool = True
     # fused wave loop (fast mode): terminated lanes shade and restart
     # their bounce segment inside ONE DDA loop instead of waiting for a

@@ -586,9 +586,10 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig,
     # no lane consumes (pgo masks on active portal lanes; the sphere
     # pass masks on dirty/bucketed lanes) - bit-identical outputs, one
     # scalar branch per step instead of two.  The cond yields ONLY the
-    # aux fields + the 15 portal targets: Mosaic materializes every
-    # yielded lane, so returning the whole SegState here costs more
-    # than the event math it skips.
+    # aux fields + the portal targets - with the 9 small-int outputs
+    # packed into two words (portal_calc) that is 15 yielded planes,
+    # was 23: Mosaic materializes every yielded lane, so returning the
+    # whole SegState here costs more than the event math it skips.
     def portal_calc(s_):
         cidx = cell_index(s_)
         if env.paged:
@@ -638,16 +639,29 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig,
                                       jnp.where(ldir_p == FZN, 0, 1)))
         step_dz = jnp.where(ldir_p == FZP, 1,
                             jnp.where(ldir_p == FZN, -1, 0))
-        return (pkind, ldir_p,
+        # the 7 small-int targets pack into two words (the cond
+        # materializes every yielded lane, so fewer yield planes is a
+        # direct per-step win): pw bits 0-1 pkind, 2-3 ldir_p, 4/5 the
+        # gx_r/gz_r sign bits (values are ±1), 18-31 dpage (paged
+        # worlds, <= 16384 pages - guarded at world build); spare bits
+        # 6-17 carry the sphere branch's dirty+idx (see the cond
+        # lambdas).  ccf holds cx_f/cz_f as 2x16-bit (same range bound
+        # as _pack_carry).  All lossless, so bit-exact.
+        pw = (pkind | (ldir_p << 2)
+              | (jnp.where(gx_r < 0, 1, 0) << 4)
+              | (jnp.where(gz_r < 0, 1, 0) << 5))
+        if env.paged:
+            pw = pw | (dpage << 18)
+        cxf = cxp + step_dx
+        czf = czp + step_dz
+        return (pw, (cxf & 0xFFFF) | (czf << 16),
                 px_r + step_dx.astype(F32), pz_r + step_dz.astype(F32),
-                cxp + step_dx, czp + step_dz,
-                vx_r, vz_r, wx_r, wz_r, ix_r, iz_r, gx_r, gz_r, dpage)
+                vx_r, vz_r, wx_r, wz_r, ix_r, iz_r)
 
     def portal_skip(s_):
         zi = jnp.zeros_like(s_.cx)
         zf = jnp.zeros_like(s_.pos.x)
-        return (zi, zi, zf, zf, zi, zi, zf, zf, zf, zf, zf, zf, zi, zi,
-                zi)
+        return (zi, zi, zf, zf, zf, zf, zf, zf, zf, zf)
 
     if env.sphere_all is not None:
         # fast path: hoisted candidates (run_segment) cover lanes still
@@ -656,31 +670,47 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig,
         # the new line here, merging with any still-pending ENTERED
         # candidate (reference aux persistence across such events).
         refresh = (s.sph_dirty & 1) != 0
+
+        def fire(op):
+            a6 = env.sphere_all(op[0], op[1], merge=True)
+            p = portal_calc(op[0])
+            # sphere outputs ride pw's spare bits: 6-7 dirty, 8-17 idx
+            w = p[0] | (a6[5] << 6) | (a6[2] << 8)
+            return (a6[0], a6[1], a6[3], a6[4], w) + p[1:]
+
         out = jax.lax.cond(
-            (flags & 2) > 0,
-            lambda op: (env.sphere_all(op[0], op[1], merge=True)
-                        + portal_calc(op[0])),
-            lambda op: (op[0].aux_dist, op[0].aux_apos, op[0].aux_idx,
-                        op[0].aux_diff, op[0].aux_t0, op[0].sph_dirty)
-            + portal_skip(op[0]),
+            (flags & 2) > 0, fire,
+            lambda op: (op[0].aux_dist, op[0].aux_apos,
+                        op[0].aux_diff, op[0].aux_t0,
+                        (op[0].sph_dirty << 6) | (op[0].aux_idx << 8))
+            + portal_skip(op[0])[1:],
             (s, refresh))
-        aux, pout = out[:6], out[6:]
-        s = s._replace(aux_dist=aux[0], aux_apos=aux[1], aux_idx=aux[2],
-                       aux_diff=aux[3], aux_t0=aux[4],
-                       sph_dirty=jnp.where(refresh, aux[5],
+        w = out[4]
+        pout = out[4:]
+        s = s._replace(aux_dist=out[0], aux_apos=out[1],
+                       aux_idx=(w >> 8) & 0x3FF,
+                       aux_diff=out[2], aux_t0=out[3],
+                       sph_dirty=jnp.where(refresh, (w >> 6) & 3,
                                            s.sph_dirty))
     elif env.sphere_pass is not None:
         # cell-driven bucket scan (parity path): runs when some active
         # ray stands in a bucketed cell (or a portal fires - harmless,
         # the per-lane valid mask registers nothing then).
+        def fire_p(op):
+            a4 = env.sphere_pass(*op)
+            p = portal_calc(op[0])
+            return (a4[0], a4[1], a4[3], p[0] | (a4[2] << 8)) + p[1:]
+
         out = jax.lax.cond(
-            (flags & 2) > 0,
-            lambda op: env.sphere_pass(*op) + portal_calc(op[0]),
-            lambda op: (op[0].aux_dist, op[0].aux_apos, op[0].aux_idx,
-                        op[0].aux_diff) + portal_skip(op[0]),
+            (flags & 2) > 0, fire_p,
+            lambda op: (op[0].aux_dist, op[0].aux_apos,
+                        op[0].aux_diff, op[0].aux_idx << 8)
+            + portal_skip(op[0])[1:],
             (s, inb, f))
-        aux, pout = out[:4], out[4:]
-        s = _apply_aux(s, aux)
+        w = out[3]
+        pout = out[3:]
+        s = s._replace(aux_dist=out[0], aux_apos=out[1],
+                       aux_idx=(w >> 8) & 0x3FF, aux_diff=out[2])
     else:
         pout = jax.lax.cond((flags & 2) > 0, portal_calc, portal_skip,
                             s)
@@ -817,9 +847,17 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig,
     wny = jnp.where(ramp_go & stepped, wy_post, wny)
 
     # ---- portal traversal targets (trace.h:507-650): computed in the
-    # merged rare-event branch above (pout)
-    (pkind, ldir_p, px_f, pz_f, cx_f, cz_f, vx_r, vz_r, wx_r, wz_r,
-     ix_r, iz_r, gx_r, gz_r, page_f) = pout
+    # merged rare-event branch above (pout), small ints packed - the
+    # unpack here is exact (see portal_calc); when the cond skipped,
+    # pw == 0 means pkind == 0, so no lane takes the portal outputs
+    (w, ccf, px_f, pz_f, vx_r, vz_r, wx_r, wz_r, ix_r, iz_r) = pout
+    pkind = w & 3
+    ldir_p = (w >> 2) & 3
+    gx_r = 1 - 2 * ((w >> 4) & 1)
+    gz_r = 1 - 2 * ((w >> 5) & 1)
+    cx_f = (ccf << 16) >> 16
+    cz_f = ccf >> 16
+    page_f = ((w >> 18) & 0x3FFF) if env.paged else None
     pgo = a & is_portal & (pkind == 1)
 
     # ---- the ONE per-step fetch: landing cell of steppers & portal rays --
@@ -987,9 +1025,9 @@ def _pack_carry(s: SegState, profile: bool, pack_page: bool):
         return jnp.where(g < 0, 1, 0).astype(s.ldir.dtype)
     mw = (neg(s.gx) | (neg(s.gy) << 1) | (neg(s.gz) << 2)
           | (s.ldir << 3) | (s.active << 6) | (s.sph_dirty << 7)
-          | (s.aux_idx << 9) | (s.tmeta << 13))
+          | (s.aux_idx << 9) | (s.tmeta << 19))
     if pack_page:
-        mw = mw | (s.page << 17)
+        mw = mw | (s.page << 23)
     cc = (s.cx & 0xFFFF) | (s.cz << 16)
     t = (s.pos, s.ray, s.iavel, s.wdist, s.fields.ent, s.cdist, s.fog,
          s.aux_dist, s.aux_t0, s.aux_apos, s.aux_diff, mw, cc)
@@ -1006,7 +1044,7 @@ def _unpack_carry(t, paged: bool, profile: bool,
      aux_apos, aux_diff, mw, cc) = t[:13]
     rest = list(t[13:])
     if paged:
-        page = (mw >> 17) & 0x3FFF if pack_page else rest.pop(0)
+        page = (mw >> 23) & 15 if pack_page else rest.pop(0)
     else:
         page = None
     return SegState(
@@ -1019,8 +1057,9 @@ def _unpack_carry(t, paged: bool, profile: bool,
         cdist=cdist, fog=fog, ldir=(mw >> 3) & 7,
         active=(mw >> 6) & 1,
         aux_dist=aux_dist, aux_t0=aux_t0, sph_dirty=(mw >> 7) & 3,
-        aux_apos=aux_apos, aux_idx=(mw >> 9) & 15, aux_diff=aux_diff,
-        tmeta=(mw >> 13) & 15,
+        aux_apos=aux_apos, aux_idx=(mw >> 9) & 0x3FF,
+        aux_diff=aux_diff,
+        tmeta=(mw >> 19) & 15,
         tstep=rest.pop(0) if profile else jnp.zeros_like(mw))
 
 
@@ -1038,7 +1077,9 @@ def run_segment(env: Env, cfg: RenderConfig, ifrom: V3, iray: V3,
         s0 = _apply_aux(s0, env.sphere_all(s0, s0.active != 0))
     fl0 = compute_flags(s0, env)
     pack = cfg.pack_carry
-    pack_page = env.paged and env.n_pages <= 0x4000
+    # page fits the carry word's 4 spare bits (worlddev asserts <= 16
+    # pages at build); a hypothetical wider atlas carries it separately
+    pack_page = env.paged and env.n_pages <= 16
 
     def cond(carry):
         step, fl, s = carry

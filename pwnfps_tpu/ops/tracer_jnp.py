@@ -103,6 +103,13 @@ def make_env(world: W.WorldDev, meta: W.WorldMeta,
     math = make_math(world, cfg.parity)
 
     paged = meta.n_pages > 1
+    if meta.n_spheres > 1023:
+        # the packed event-cond word and while-carry word give aux_idx
+        # 10 bits (tracer_core.portal_calc / _pack_carry); the pallas
+        # backend caps at 16 spheres anyway (NSPH_MAX)
+        raise ValueError(
+            f"n_spheres={meta.n_spheres} exceeds the 1023-sphere "
+            "aux_idx packing bound")
 
     def fetch(cx, cz, page) -> CellFields:
         idx = flat_cell_index(cx, cz, page if paged else None)
