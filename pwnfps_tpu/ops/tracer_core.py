@@ -544,19 +544,26 @@ def _terminate(s: SegState, mask, kind, dist=None) -> SegState:
 
 def compute_flags(s: SegState, env: Env) -> jnp.ndarray:
     """Packed tile-uniform gates: bit0 any-active (the while cond),
-    bit1 any rare EVENT lane (sphere-scan trigger OR portal cell).
-    Evaluated on the post-step state, so the next step's branches need
-    no reductions.
+    bit1 any rare EVENT lane (sphere-scan trigger, portal cell, or
+    ramp cell).  Evaluated on the post-step state, so the next step's
+    branches need no reductions.
 
-    The two event kinds share one bit because no consumer ever splits
-    them: segment_body's single merged cond runs both bodies (each is
+    The event kinds share one bit because no consumer ever splits
+    them: segment_body's single merged cond runs all bodies (each is
     per-lane masked, so cross-firing computes values no lane consumes).
+    Ramps joined the union because their per-step math (tilt + the
+    wy_ramp DIVIDE) only feeds lanes standing on a ramp cell, and
+    measured fire rates on the default level say ramps raise the union
+    by just ~1% (dirty 23%, portal 21%, ramp 4%, union 35.5 -> 36.6%
+    of live tile-steps over 3 camera rotations; docs/PERFORMANCE.md).
     With every set bit implying the active bit, v ∈ {0, 1, 3} and ONE
     cross-lane max IS the bitwise or — the second reduction the old
     bit0-2 encoding needed is gone."""
     act = s.active != 0
     f = s.fields
-    ev = act & (f.cls == W.PORTAL)
+    cls = f.cls
+    ev = act & ((cls == W.PORTAL)
+                | ((cls >= W.RAMP_GT) & (cls <= W.RAMP_CR)))
     if env.sphere_all is not None:
         # fast mode: some lane's hoisted candidates need re-deriving
         # after a line-change event (portal/y-shift/ramp)
@@ -658,10 +665,36 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig,
                 px_r + step_dx.astype(F32), pz_r + step_dz.astype(F32),
                 vx_r, vz_r, wx_r, wz_r, ix_r, iz_r)
 
-    def portal_skip(s_):
+    def ramp_calc(s_):
+        # ramp tilt + tilted-ray wdist.y (trace.h:450-457): only lanes
+        # standing on a ramp cell consume these, and ramp cells fire
+        # the event bit (compute_flags), so the tilt chain and the
+        # wy_ramp DIVIDE leave the unconditional step body.  Same
+        # expressions as before the move - bit-exact.
+        cls_ = s_.fields.cls
+        ray_ = s_.ray
+        coef_x = jnp.where(cls_ == W.RAMP_GT, F32(-0.5),
+                           jnp.where(cls_ == W.RAMP_LT, F32(0.5),
+                                     F32(0.0)))
+        coef_z = jnp.where(cls_ == W.RAMP_CM, F32(-0.5),
+                           jnp.where(cls_ == W.RAMP_CR, F32(0.5),
+                                     F32(0.0)))
+        rampx = (cls_ == W.RAMP_GT) | (cls_ == W.RAMP_LT)
+        rampc = (cls_ >= W.RAMP_GT) & (cls_ <= W.RAMP_CR)
+        tilt_ = jnp.where(rampx, coef_x * ray_.x, coef_z * ray_.z)
+        ry2 = jnp.where(rampc, ray_.y + tilt_, ray_.y)
+        ay2 = jnp.where(ry2 < 0.0, -ry2, ry2)
+        wyr = jnp.where(ry2 >= 0.0, F32(1.0) - s_.pos.y, s_.pos.y) \
+            * env.math.div(jnp.ones_like(ay2), ay2)
+        return (tilt_, wyr)
+
+    def ev_calc(s_):
+        return portal_calc(s_) + ramp_calc(s_)
+
+    def ev_skip(s_):
         zi = jnp.zeros_like(s_.cx)
         zf = jnp.zeros_like(s_.pos.x)
-        return (zi, zi, zf, zf, zf, zf, zf, zf, zf, zf)
+        return (zi, zi, zf, zf, zf, zf, zf, zf, zf, zf, zf, zf)
 
     if env.sphere_all is not None:
         # fast path: hoisted candidates (run_segment) cover lanes still
@@ -673,7 +706,7 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig,
 
         def fire(op):
             a6 = env.sphere_all(op[0], op[1], merge=True)
-            p = portal_calc(op[0])
+            p = ev_calc(op[0])
             # sphere outputs ride pw's spare bits: 6-7 dirty, 8-17 idx
             w = p[0] | (a6[5] << 6) | (a6[2] << 8)
             return (a6[0], a6[1], a6[3], a6[4], w) + p[1:]
@@ -683,7 +716,7 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig,
             lambda op: (op[0].aux_dist, op[0].aux_apos,
                         op[0].aux_diff, op[0].aux_t0,
                         (op[0].sph_dirty << 6) | (op[0].aux_idx << 8))
-            + portal_skip(op[0])[1:],
+            + ev_skip(op[0])[1:],
             (s, refresh))
         w = out[4]
         pout = out[4:]
@@ -698,22 +731,21 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig,
         # the per-lane valid mask registers nothing then).
         def fire_p(op):
             a4 = env.sphere_pass(*op)
-            p = portal_calc(op[0])
+            p = ev_calc(op[0])
             return (a4[0], a4[1], a4[3], p[0] | (a4[2] << 8)) + p[1:]
 
         out = jax.lax.cond(
             (flags & 2) > 0, fire_p,
             lambda op: (op[0].aux_dist, op[0].aux_apos,
                         op[0].aux_diff, op[0].aux_idx << 8)
-            + portal_skip(op[0])[1:],
+            + ev_skip(op[0])[1:],
             (s, inb, f))
         w = out[3]
         pout = out[3:]
         s = s._replace(aux_dist=out[0], aux_apos=out[1],
                        aux_idx=(w >> 8) & 0x3FF, aux_diff=out[2])
     else:
-        pout = jax.lax.cond((flags & 2) > 0, portal_calc, portal_skip,
-                            s)
+        pout = jax.lax.cond((flags & 2) > 0, ev_calc, ev_skip, s)
 
     is_floorish = (cls == W.FLOOR) | (cls == W.FOG) | (cls == W.LOWER)
     is_tall = (cls == W.TALL) | (cls == W.TALLFOG)
@@ -730,13 +762,12 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig,
     pos, ray, wdist, iavel = s.pos, s.ray, s.wdist, s.iavel
     gx, gy, gz = s.gx, s.gy, s.gz
 
-    # ---- ramp tilt (trace.h:450-457) -------------------------------------
-    coef_x = jnp.where(cls == W.RAMP_GT, F32(-0.5),
-                       jnp.where(cls == W.RAMP_LT, F32(0.5), F32(0.0)))
-    coef_z = jnp.where(cls == W.RAMP_CM, F32(-0.5),
-                       jnp.where(cls == W.RAMP_CR, F32(0.5), F32(0.0)))
-    is_ramp_x = (cls == W.RAMP_GT) | (cls == W.RAMP_LT)
-    tilt = jnp.where(is_ramp_x, coef_x * ray.x, coef_z * ray.z)
+    # ---- ramp tilt (trace.h:450-457): tilt/wy_ramp come from the
+    # merged rare-event cond (ramp_calc - ramp cells fire the event
+    # bit, so any step with an active ramp lane has the real values;
+    # otherwise they are zeros no lane consumes: every consumer below
+    # is is_ramp-masked)
+    tilt, wy_ramp = pout[10], pout[11]
     ray_y2 = jnp.where(is_ramp, ray.y + tilt, ray.y)
     ray2 = V3(ray.x, ray_y2, ray.z)
 
@@ -764,11 +795,8 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig,
     else:
         wxe, wze = wx, wz
 
-    # ---- per-class effective wdist.y -------------------------------------
+    # ---- per-class effective wdist.y (wy_ramp from the event cond) --------
     wy_tall = jnp.where(gy > 0, wy0 + iavel.y, wy0)
-    ay2 = jnp.where(ray_y2 < 0.0, -ray_y2, ray_y2)
-    wy_ramp = jnp.where(ray_y2 >= 0.0, F32(1.0) - pos.y, pos.y) \
-        * env.math.div(jnp.ones_like(ay2), ay2)
     wy = jnp.where(is_tall, wy_tall, jnp.where(is_ramp, wy_ramp, wy0))
 
     # Terminations are RECORDED as masks while the step proceeds (the
@@ -850,7 +878,7 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig,
     # merged rare-event branch above (pout), small ints packed - the
     # unpack here is exact (see portal_calc); when the cond skipped,
     # pw == 0 means pkind == 0, so no lane takes the portal outputs
-    (w, ccf, px_f, pz_f, vx_r, vz_r, wx_r, wz_r, ix_r, iz_r) = pout
+    (w, ccf, px_f, pz_f, vx_r, vz_r, wx_r, wz_r, ix_r, iz_r) = pout[:10]
     pkind = w & 3
     ldir_p = (w >> 2) & 3
     gx_r = 1 - 2 * ((w >> 4) & 1)
@@ -1154,12 +1182,14 @@ class FusedAcc(NamedTuple):
 def compute_flags_fused(s: SegState, acc: FusedAcc,
                         env: Env) -> jnp.ndarray:
     """Fused-loop gates: bit0 any-active, bit1 any EVENT lane
-    (sphere refresh OR portal — segment_body's merged-cond encoding,
-    see compute_flags), bit3 unprocessed death.  Two exact reductions
-    (every v bit implies the active bit, so one max covers bits 0-1;
-    bit 3 is independent)."""
+    (sphere refresh, portal or ramp — segment_body's merged-cond
+    encoding, see compute_flags), bit3 unprocessed death.  Two exact
+    reductions (every v bit implies the active bit, so one max covers
+    bits 0-1; bit 3 is independent)."""
     act = s.active != 0
-    ev = act & (s.fields.cls == W.PORTAL)
+    cls = s.fields.cls
+    ev = act & ((cls == W.PORTAL)
+                | ((cls >= W.RAMP_GT) & (cls <= W.RAMP_CR)))
     if env.sphere_all is not None:
         ev = ev | (act & ((s.sph_dirty & 1) != 0))
     v = jnp.where(act, 1, 0) | jnp.where(ev, 2, 0)

@@ -28,13 +28,14 @@ from pwnfps_tpu.ops.vec import V3
 from pwnfps_tpu.world.levelc import compile_level
 from pwnfps_tpu.world.objects import ObjectPool
 
-# Portal + corridor + sphere: exercises portal rotation (gx/gz/ldir
-# rewrites), the empty-space skip (multi-cell cx jumps), sphere
-# registration (aux_idx/sph_dirty/tmeta) in one scene.
+# Portal + corridor + sphere + ramp: exercises portal rotation
+# (gx/gz/ldir rewrites), the empty-space skip (multi-cell cx jumps),
+# sphere registration (aux_idx/sph_dirty/tmeta) and the ramp tilt
+# (event-cond tilt/wy_ramp yields) in one scene.
 LEVEL = b"""................
 .;B.............
 ................
-.;;;;;;;;;;;;;B.
+.;;;;;;;;;>;;;B.
 ................
 """
 
