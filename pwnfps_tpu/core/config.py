@@ -81,6 +81,10 @@ class RenderConfig:
     # guarded by the skip-vs-no-skip differentials in
     # tests/test_space_skip.py.  Ignored when parity=True.
     space_skip: bool = True
+    # ABLATION KNOB ONLY (perf_probe --nowater): water=False replaces
+    # the animated water normal's 4 transcendentals in shade_and_bounce
+    # with a flat +y normal to size their cost on chip.  Never ship it.
+    water: bool = True
     # record the per-ray DDA step count at termination (SegOut.tstep).
     # Telemetry only; costs two vector ops per step, so off by default.
     profile: bool = False

@@ -1208,7 +1208,7 @@ def _process_deaths(s: SegState, acc: FusedAcc, env: Env,
     out = seg_out_view(s, env)
     depth_ok = acc.wave < cfg.reflect
     base, refl, bounce, mpos, mray, seed2 = shade_and_bounce(
-        out, acc.icol, acc.seed, sec, depth_ok, env)
+        out, acc.icol, acc.seed, sec, depth_ok, env, water=cfg.water)
     bounce = bounce & unproc
     fin = unproc & ~bounce
 
@@ -1346,8 +1346,12 @@ def _palette(colid, chan: int):
 
 
 def shade_and_bounce(out: SegOut, icol: C4, seed, sec, depth_ok: bool,
-                     env: Env):
-    """Wall shading (trace_hit_wall) + bounce prep (trace_hit_bounce)."""
+                     env: Env, water: bool = True):
+    """Wall shading (trace_hit_wall) + bounce prep (trace_hit_bounce).
+
+    water=False is an ABLATION KNOB ONLY (perf_probe --nowater): it
+    replaces the animated water normal's 4 transcendentals with a flat
+    +y normal to size their cost on chip.  Never a shipping mode."""
     math = env.math
     rx, ry, rz = out.tray.x, out.tray.y, out.tray.z
     d = jnp.where(out.tldir == FYP, ry,
@@ -1389,20 +1393,24 @@ def shade_and_bounce(out: SegOut, icol: C4, seed, sec, depth_ok: bool,
     mpos = (pos + V3(nudx, nudy, nudz)).where(is_wall, pos)
 
     # water floor (FYN): normal from the *nudged* position (trace.h:39-56)
-    water = is_wall & (out.tldir == FYN)
+    is_water = is_wall & (out.tldir == FYN)
     pi = F32(np.pi)
-    ang = (pi * F32(2.0)) * ((math.sin(pi * F32(0.5) * mpos.x)
-                              + math.cos(pi * F32(0.5) * mpos.z))
-                             + sec * F32(1.0))
-    wnorm = normalise_sse(
-        V3(math.sin(ang), jnp.full_like(ang, 38.0), math.cos(ang)),
-        math.rsq)
-    norm = wnorm.where(water, out.aux_norm)
+    if water:
+        ang = (pi * F32(2.0)) * ((math.sin(pi * F32(0.5) * mpos.x)
+                                  + math.cos(pi * F32(0.5) * mpos.z))
+                                 + sec * F32(1.0))
+        wnorm = normalise_sse(
+            V3(math.sin(ang), jnp.full_like(ang, 38.0), math.cos(ang)),
+            math.rsq)
+    else:  # ablation: flat floor normal, no trig (see docstring)
+        zero2 = jnp.zeros_like(mpos.x)
+        wnorm = V3(zero2, zero2 + F32(1.0), zero2)
+    norm = wnorm.where(is_water, out.aux_norm)
 
     # sphere: back off along the ray from aux_pos (trace.h:58-60)
     mpos = (out.aux_pos - F32(0.001) * ray).where(is_sph, mpos)
 
-    mirror = water | is_sph
+    mirror = is_water | is_sph
     rmul = F32(-2.0) * (((F32(0.0) + ray.x * norm.x) + ray.y * norm.y)
                         + ray.z * norm.z)
     mirrored = normalise_sse(rmul * norm + ray, math.rsq)
@@ -1445,7 +1453,7 @@ def trace_wave_env(env: Env, cfg: RenderConfig, ifrom: V3, iray: V3,
         page = out.tpage     # bounce waves continue in the hit's page
         depth_ok = k < cfg.reflect
         base, refl, bounce, mpos, mray, seed = shade_and_bounce(
-            out, icol, seed, sec, depth_ok, env)
+            out, icol, seed, sec, depth_ok, env, water=cfg.water)
         if k == 0:
             dist0 = out.tdist
         bases.append(base)

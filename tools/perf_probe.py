@@ -40,6 +40,8 @@ def main() -> int:
                     help="disable the empty-space run-length skip")
     ap.add_argument("--nopack", action="store_true",
                     help="disable the packed while-carry (cfg.pack_carry)")
+    ap.add_argument("--nowater", action="store_true",
+                    help="flat floor normal (sizes the water trig)")
     ap.add_argument("--maxsteps", type=int, default=1000)
     args = ap.parse_args()
 
@@ -78,7 +80,8 @@ def main() -> int:
                        postproc_blur=0 if args.noblur else 1,
                        fused=args.fuse,
                        space_skip=not args.noskip,
-                       pack_carry=not args.nopack)
+                       pack_carry=not args.nopack,
+                       water=not args.nowater)
 
     cam = mat4_identity()
     sx, sz = lv.spawn
