@@ -196,7 +196,13 @@ def bench_maze():
                                       SseTables.load())
     world = jax.tree.map(jnp.asarray, world)
     w, h = 1280, 720
-    cfg = RenderConfig(width=w, height=h, backend="pallas", cam_page=sp)
+    # PWNFPS_MAZE_SKIP=0 is an A/B knob: with the skip off, the pallas
+    # fetch packs 4 cells/i32 (tracer_pallas._pack4) and the 4-page
+    # chunked scan halves - whichever wins on chip is the right maze
+    # default (the tight sectors give the skip little to skip).
+    cfg = RenderConfig(width=w, height=h, backend="pallas", cam_page=sp,
+                       space_skip=os.environ.get(
+                           "PWNFPS_MAZE_SKIP", "1") != "0")
     cam0 = mat4_identity()
     cam0[3, :3] = (sx + 0.5, 0.5, sz + 0.5)
 

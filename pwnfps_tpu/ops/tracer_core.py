@@ -118,6 +118,12 @@ class Env(NamedTuple):
     # rematerialization for SegOut (make_sphere_view); None when the
     # scene has no spheres.
     sphere_view: Any = None
+    # fast mode only: fn(px, pz, vx, vz, page) -> bool plane, the XZ
+    # line-vs-bounding-circle relevance of a PROSPECTIVE line
+    # (make_sphere_rel).  Lets portal traversal decide INLINE whether
+    # the post-portal line can see any sphere, instead of always
+    # marking the lane dirty and firing the refresh cond next step.
+    sphere_rel: Any = None
     # static: may the empty-space skip engage?  False when the level's
     # clearance field is all-zero (tight maze), stripping the skip ops
     # from the step body at trace time.
@@ -439,6 +445,36 @@ def make_sphere_all(n_spheres: int, get_sphere, math: Math,
     return run
 
 
+def make_sphere_rel(get_bound, sphere_page=None):
+    """Relevance of a PROSPECTIVE ray line: can the XZ-projected line
+    from (px, pz) along (vx, vz) hit the scene's bounding circle?
+
+    Exactly the expressions of make_sphere_all.run's per-lane rel bit,
+    evaluated at the post-portal position/ray — the refresh one step
+    later would compute the identical value from the identical inputs
+    (the portal branch writes px_f/vx_r into the carried pos/ray), so
+    deciding it inline at portal time is bit-exact.  When it is False,
+    the refresh is provably a no-op (any 3D line-sphere hit implies an
+    XZ bound-circle hit — projection shrinks distances — so run_full
+    registers nothing and returns rel_bit 0): skipping it saves the
+    refresh-cond fire on every portal traversal whose landing line
+    cannot see a sphere."""
+    def rel(px, pz, vx, vz, page=None):
+        bc, br = get_bound()
+        zero = jnp.zeros_like(px)
+        rx = bc.x + zero - px
+        rz = bc.z + zero - pz
+        d2xz = rx * rx + rz * rz
+        dtxz = rx * vx + rz * vz
+        l2 = vx * vx + vz * vz
+        r = (d2xz - br * br) * l2 < dtxz * dtxz
+        if sphere_page is not None:
+            r = r & (page == sphere_page)
+        return r
+
+    return rel
+
+
 def make_sphere_view(gather_sphere, math: Math):
     """SegOut aux rematerialization from the compact carried record.
 
@@ -649,11 +685,12 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig,
         # the 7 small-int targets pack into two words (the cond
         # materializes every yielded lane, so fewer yield planes is a
         # direct per-step win): pw bits 0-1 pkind, 2-3 ldir_p, 4/5 the
-        # gx_r/gz_r sign bits (values are ±1), 18-31 dpage (paged
-        # worlds, <= 16384 pages - guarded at world build); spare bits
-        # 6-17 carry the sphere branch's dirty+idx (see the cond
-        # lambdas).  ccf holds cx_f/cz_f as 2x16-bit (same range bound
-        # as _pack_carry).  All lossless, so bit-exact.
+        # gx_r/gz_r sign bits (values are ±1), 18-21 dpage (paged
+        # worlds, <= 16 pages - worlddev build assert); spare bits
+        # 6-17 carry the sphere branch's dirty+idx and bit 22 its
+        # post-portal relevance (see the cond lambdas).  ccf holds
+        # cx_f/cz_f as 2x16-bit (same range bound as _pack_carry).
+        # All lossless, so bit-exact.
         pw = (pkind | (ldir_p << 2)
               | (jnp.where(gx_r < 0, 1, 0) << 4)
               | (jnp.where(gz_r < 0, 1, 0) << 5))
@@ -709,6 +746,15 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig,
             p = ev_calc(op[0])
             # sphere outputs ride pw's spare bits: 6-7 dirty, 8-17 idx
             w = p[0] | (a6[5] << 6) | (a6[2] << 8)
+            if env.sphere_rel is not None:
+                # post-portal line relevance, bit 22: the portal
+                # branch consumes it below to set the landing lane's
+                # sph_dirty to 3 (re-derive next step) or 0 (the
+                # refresh would be a no-op - don't fire it).  p[2..5]
+                # are the landing pos/ray the refresh would read.
+                dp = ((p[0] >> 18) & 0xF) if env.paged else None
+                nr = env.sphere_rel(p[2], p[3], p[4], p[5], dp)
+                w = w | (jnp.where(nr, 1, 0) << 22)
             return (a6[0], a6[1], a6[3], a6[4], w) + p[1:]
 
         out = jax.lax.cond(
@@ -885,7 +931,9 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig,
     gz_r = 1 - 2 * ((w >> 5) & 1)
     cx_f = (ccf << 16) >> 16
     cz_f = ccf >> 16
-    page_f = ((w >> 18) & 0x3FFF) if env.paged else None
+    # pages <= 16 (worlddev build assert), so dpage is bits 18-21 and
+    # bit 22 is free for the sphere-relevance bit (fire above)
+    page_f = ((w >> 18) & 0xF) if env.paged else None
     pgo = a & is_portal & (pkind == 1)
 
     # ---- the ONE per-step fetch: landing cell of steppers & portal rays --
@@ -1024,12 +1072,29 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig,
         # y-shift/ramp events only matter for lanes whose XZ line can
         # see a sphere (relevance bit, shift-invariant); a pending
         # candidate implies the bit, so the drop logic is unaffected
-        ev = pgo2 | (stepped & (tr1 | tr2 | ramp_go)
-                     & ((s.sph_dirty & 2) != 0))
+        ev_shift = (stepped & (tr1 | tr2 | ramp_go)
+                    & ((s.sph_dirty & 2) != 0))
+        ev = pgo2 | ev_shift
         drop = (ev & (s.aux_dist != F32(-1.0))
                 & (s.cdist < s.aux_t0))
+        if env.sphere_rel is not None:
+            # portal lanes land on a NEW line: its relevance was
+            # computed inline in the event cond (fire, bit 22 of w)
+            # with the refresh's own expressions.  Relevant -> 3
+            # (bit 0 fires the refresh next step, which recomputes
+            # both bits from the same inputs); irrelevant -> 0, the
+            # exact state that refresh would have produced (no
+            # candidate can register off the bound circle; a pending
+            # ENTERED candidate persists either way) - so the refresh
+            # cond stops firing for portal traffic that cannot see a
+            # sphere.
+            dirty_p = ((w >> 22) & 1) * 3
+        else:
+            dirty_p = s.sph_dirty | 1
         s = s._replace(
-            sph_dirty=jnp.where(ev, s.sph_dirty | 1, s.sph_dirty),
+            sph_dirty=jnp.where(pgo2, dirty_p,
+                                jnp.where(ev_shift, s.sph_dirty | 1,
+                                          s.sph_dirty)),
             aux_dist=jnp.where(drop, F32(-1.0), s.aux_dist))
 
     # ---- end-of-iteration sphere check (trace.h:668-673) ------------------

@@ -19,7 +19,8 @@ from . import worlddev as W
 from .tracer_core import (CellFields, Env, Math, SegState,  # noqa: F401
                           cell_index, col_ftoint, decode_portal_word,
                           decode_word, flat_cell_index, make_sphere_all,
-                          make_sphere_view, trace_wave_env)
+                          make_sphere_rel, make_sphere_view,
+                          trace_wave_env)
 from .vec import C4, V3, dot_sse, normalise_sse
 
 F32 = jnp.float32
@@ -165,10 +166,14 @@ def make_env(world: W.WorldDev, meta: W.WorldMeta,
     sphere_view = (make_sphere_view(gather_sphere, math)
                    if (sphere_all is not None or sphere_pass is not None)
                    else None)
+    sphere_rel = (make_sphere_rel(
+        get_bound, sphere_page=meta.sphere_page if paged else None)
+        if sphere_all is not None else None)
     return Env(math=math, fetch=fetch, fetch_portal=fetch_portal,
                sphere_pass=sphere_pass,
                randfs=lambda s: lcg.randfs(s, jnp),
                sphere_all=sphere_all, sphere_view=sphere_view,
+               sphere_rel=sphere_rel,
                skip_ok=meta.has_clear, paged=paged,
                n_pages=meta.n_pages)
 

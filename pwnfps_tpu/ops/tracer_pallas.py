@@ -42,7 +42,8 @@ from . import worlddev as W
 from .tracer_core import (CellFields, Env, Math, SegState,
                           cell_index, decode_portal_word,
                           flat_cell_index, make_sphere_all,
-                          make_sphere_view, trace_wave_env,
+                          make_sphere_rel, make_sphere_view,
+                          trace_wave_env,
                           xcls_compress)
 from .vec import C4, V3, dot_sse, normalise_sse
 
@@ -84,12 +85,24 @@ def _wchunks(lh: int) -> int:
     return lh // 2          # 64*lh cells / 128 lanes
 
 
-def _cchunks(lh: int) -> int:
-    return lh // 4          # 64*lh cells / 2 per i32 / 128 lanes
+def _pack4(cfg, has_clear: bool) -> bool:
+    """4 cells per i32 in the compact table whenever the empty-space
+    skip can never engage (parity mode, cfg.space_skip off, or a level
+    with no clearance): the run bits are compiled out of the step body
+    then, so the 7-bit entry (cls|xcls2|has_sph) suffices and the
+    per-step chunked fetch scans HALF the chunks.  Entry values are
+    identical bits (runs read as 0 to the consumers that never run)."""
+    return cfg.parity or not cfg.space_skip or not has_clear
+
+
+def _cchunks(lh: int, pack4: bool = False) -> int:
+    # 64*lh cells / (2 or 4) per i32 / 128 lanes
+    return lh // 8 if pack4 else lh // 4
 
 
 def build_tables(world: W.WorldDev, meta: W.WorldMeta,
-                 rows: int, parity: bool) -> PallasTables:
+                 rows: int, parity: bool,
+                 pack4: bool = False) -> PallasTables:
     """Per-frame device tables for the kernel (cheap jnp ops).
 
     Cell tables cover only the first meta.lh grid rows: rows beyond hold
@@ -115,22 +128,30 @@ def build_tables(world: W.WorldDev, meta: W.WorldMeta,
     def plain_chunks(flat):   # [P*4096] -> [chunks,128], unreplicated
         return flat[:ncell].reshape(-1, 128)
 
-    # compact common-path entry (16 bits, 2 cells per int32):
-    # cls(4) | xcls2(2) | has_sph(1) | runx(4) | runz(4)
+    # compact common-path entry: cls(4) | xcls2(2) | has_sph(1), plus
+    # runx(4) | runz(4) unless pack4 (skip compiled out) - 2 cells per
+    # int32, or 4 7-bit entries per int32 when pack4 halves the scan
     w = world.word[:ncell]
     cls = W.w_cls(w)
     not_p = cls != W.PORTAL
     cent = (cls | (xcls_compress(W.w_xcls(w)) << 4)
-            | (jnp.where(W.w_nsph(w) > 0, 1, 0) << 6)
-            | (jnp.where(not_p, W.w_runx(w), 0) << 7)
-            | (jnp.where(not_p, W.w_runz(w), 0) << 11))
+            | (jnp.where(W.w_nsph(w) > 0, 1, 0) << 6))
+    if not pack4:
+        cent = (cent
+                | (jnp.where(not_p, W.w_runx(w), 0) << 7)
+                | (jnp.where(not_p, W.w_runz(w), 0) << 11))
     if paged:
         # portal cells of a paged world repurpose the nsph bits as the
         # target page, so their has_sph compact bit must stay clear
         cent = jnp.where(cls == W.PORTAL, cent & ~jnp.int32(1 << 6),
                          cent)
-    cb = cent.reshape(ncell // 2, 2)
-    cword = cb[:, 0] | (cb[:, 1] << 16)
+    if pack4:
+        cb = cent.reshape(ncell // 4, 4)
+        cword = (cb[:, 0] | (cb[:, 1] << 8) | (cb[:, 2] << 16)
+                 | (cb[:, 3] << 24))
+    else:
+        cb = cent.reshape(ncell // 2, 2)
+        cword = cb[:, 0] | (cb[:, 1] << 16)
     cword_b = cword.reshape(-1, 128)
     if not paged:
         cword_b = jnp.repeat(cword_b, ROWS, axis=0)
@@ -218,17 +239,21 @@ def _chunked_gather_paged(tab_ref, idx, chunks):
 
 
 def _compact_fetch(cword_ref, cx, cz, rows, chunks, page=None,
-                   n_pages=1) -> CellFields:
-    """Common-path fields from the 2-cells-per-int32 table: one chunked
-    gather + halfword extract.  Cells beyond the table (grid rows >=
-    meta.lh) miss every chunk and read 0 == the pad cells' entry."""
+                   n_pages=1, pack4=False) -> CellFields:
+    """Common-path fields from the packed cell table: one chunked
+    gather + sub-word extract (2 16-bit entries per i32, or 4 8-bit
+    entries when pack4 - see _pack4).  Cells beyond the table (grid
+    rows >= meta.lh) miss every chunk and read 0 == the pad entry."""
     idx = flat_cell_index(cx, cz, page if n_pages > 1 else None)
+    widx = idx >> 2 if pack4 else idx >> 1
     if n_pages > 1:
-        word = _chunked_gather_paged(cword_ref, idx >> 1,
-                                     chunks * n_pages)
+        word = _chunked_gather_paged(cword_ref, widx, chunks * n_pages)
     else:
-        word = _chunked_gather(cword_ref, idx >> 1, rows, chunks=chunks)
-    ent = (word >> ((idx & 1) * 16)) & 0x7FFF
+        word = _chunked_gather(cword_ref, widx, rows, chunks=chunks)
+    if pack4:
+        ent = (word >> ((idx & 3) * 8)) & 0x7F
+    else:
+        ent = (word >> ((idx & 1) * 16)) & 0x7FFF
     return CellFields(ent=ent)
 
 
@@ -367,10 +392,12 @@ def _kernel(cfg: RenderConfig, n_spheres: int, lh: int, has_clear: bool,
             fx, fy, fz, rx, ry, rz, seed_ref, *outs):
     rows = _rows(cfg.parity)
     paged = n_pages > 1
+    pack4 = _pack4(cfg, has_clear)
 
     def fetch(cx, cz, page) -> CellFields:
-        return _compact_fetch(cword_ref, cx, cz, rows, _cchunks(lh),
-                              page, n_pages)
+        return _compact_fetch(cword_ref, cx, cz, rows,
+                              _cchunks(lh, pack4), page, n_pages,
+                              pack4)
 
     def fetch_portal(cell_idx):
         # the word table is unreplicated (build_tables): broadcast each
@@ -419,9 +446,13 @@ def _kernel(cfg: RenderConfig, n_spheres: int, lh: int, has_clear: bool,
     sphere_view = (make_sphere_view(gather_sphere, math)
                    if (sphere_all is not None or sphere_pass is not None)
                    else None)
+    sphere_rel = (make_sphere_rel(
+        get_bound, sphere_page=sphere_page if paged else None)
+        if sphere_all is not None else None)
     env = Env(math=math, fetch=fetch, fetch_portal=fetch_portal,
               sphere_pass=sphere_pass, randfs=_randfs_i32,
               sphere_all=sphere_all, sphere_view=sphere_view,
+              sphere_rel=sphere_rel,
               skip_ok=has_clear, paged=paged, n_pages=n_pages)
 
     ifrom = V3(fx[:], fy[:], fz[:])
@@ -482,7 +513,8 @@ def _trace_pallas(tables: PallasTables, cfg: RenderConfig,
     grid_spec = pl.GridSpec(
         grid=(tiles,),
         in_specs=[full((_wchunks(lh) * n_pages, 128)),
-                  full((_cchunks(lh) * n_pages * wrep, 128)),
+                  full((_cchunks(lh, _pack4(cfg, has_clear))
+                        * n_pages * wrep, 128)),
                   full(mask_shape),
                   full((SPH_ROWS, 8)), full((8, 128)),
                   full((64 * ROWS, 128) if cfg.parity else (1, 128)),
@@ -525,7 +557,8 @@ def trace_wave_pallas(world: W.WorldDev, meta: W.WorldMeta,
     assert meta.n_spheres <= NSPH_MAX, (
         f"pallas path supports <= {NSPH_MAX} spheres, got "
         f"{meta.n_spheres}")
-    tables = build_tables(world, meta, _rows(cfg.parity), cfg.parity)
+    tables = build_tables(world, meta, _rows(cfg.parity), cfg.parity,
+                          pack4=_pack4(cfg, meta.has_clear))
     n = ifrom.x.shape[0]
     return _trace_pallas(tables, cfg, meta.n_spheres, n, meta.lh,
                          meta.has_clear, meta.n_pages, meta.sphere_page,
