@@ -39,6 +39,14 @@ w,h = 896, 512
 cfg = RenderConfig(width=w,height=h,parity=False)
 env = make_env(world, meta, cfg)
 
+# bounding sphere of the scene spheres (as tracer_pallas.build_tables)
+_c = np.asarray(world.sph_pos)[:meta.n_spheres]
+_lo, _hi = _c.min(axis=0), _c.max(axis=0)
+_bc = (_lo + _hi) * 0.5
+_br = float(np.sqrt(((_c - _bc[None]) ** 2).sum(axis=1)).max()
+            + np.asarray(world.sph_r)[:meta.n_spheres].max())
+_bc = _bc.astype(np.float32); _br = np.float32(_br)
+
 @jax.jit
 def gates(s):
     act = s.active != 0
@@ -49,17 +57,31 @@ def gates(s):
     ramp = act & (cls >= W.RAMP_GT) & (cls <= W.RAMP_CR)
     tall = act & ((cls == W.TALL) | (cls == W.TALLFOG))
     fog = act & ((cls == W.FOG) | (cls == W.TALLFOG))
+    # the refresh's nested bound gate (make_sphere_all.run: anyq):
+    # the 900-plane run_full body only executes on tile-steps where
+    # some DIRTY lane's directed 3D line hits the scene bound sphere
+    rx = _bc[0] - s.pos.x; rz = _bc[2] - s.pos.z
+    d2xz = rx * rx + rz * rz
+    dtxz = rx * s.ray.x + rz * s.ray.z
+    l2 = s.ray.x * s.ray.x + s.ray.z * s.ray.z
+    rel = (d2xz - _br * _br) * l2 < dtxz * dtxz
+    ry_ = _bc[1] - s.pos.y
+    d2 = d2xz + ry_ * ry_
+    dt3 = dtxz + ry_ * s.ray.y
+    quick = rel & (dt3 > -_br) & (d2 - dt3 * dt3 < _br * _br)
+    anyq = dirty & quick
     def tile_any(m):
         m2 = m.reshape(h//64, 64, w//128, 128)
         return m2.any(axis=(1,3))
-    return tuple(tile_any(m) for m in (act, dirty, portal, ramp, tall, fog))
+    return tuple(tile_any(m) for m in (act, dirty, portal, ramp, tall,
+                                       fog, anyq))
 
 @functools.partial(jax.jit, static_argnums=())
 def step(s):
     return TC.segment_body(s, env, cfg, jnp.int32(3))
 
-tot = np.zeros(6, np.int64)  # live, dirty, portal, ramp, tall, fog tile-steps
-union_dp = 0; union_dpr = 0
+tot = np.zeros(7, np.int64)  # live,dirty,portal,ramp,tall,fog,anyq tile-steps
+union_dp = 0; union_dpr = 0; union_pr = 0
 for rot in (0.0, 1.1, 2.2):
     cam = mat4_identity(); sx,sz = lv.spawn; cam[3,:3]=(sx+.5,.5,sz+.5)
     mat4_roty(cam, rot)
@@ -79,13 +101,15 @@ for rot in (0.0, 1.1, 2.2):
             if not g[0].any(): break
             tot += np.array([x.sum() for x in g])
             union_dp += (g[1]|g[2]).sum(); union_dpr += (g[1]|g[2]|g[3]).sum()
+            union_pr += (g[2]|g[3]).sum()
             s = step(s)
         out = TC.seg_out_view(s, env)
         base, refl, bounce, mpos, mray, seed = TC.shade_and_bounce(out, icol, seed, jnp.float32(0.5), k < cfg.reflect, env)
         icol = base; cur_from, cur_ray = mpos, mray; active = bounce
 live = tot[0]
 print('live tile-steps:', live)
-for name, v in zip(('dirty','portal','ramp','tall','fog'), tot[1:]):
+for name, v in zip(('dirty','portal','ramp','tall','fog','anyq'), tot[1:]):
     print('%7s fire: %5.1f%%' % (name, 100.0*v/live))
 print('union dirty|portal      : %5.1f%%' % (100.0*union_dp/live))
 print('union dirty|portal|ramp : %5.1f%%' % (100.0*union_dpr/live))
+print('union portal|ramp       : %5.1f%%' % (100.0*union_pr/live))
