@@ -98,6 +98,16 @@ class CellFields(NamedTuple):
     def nsph(self):
         return (self.ent >> 15) & 0x1F
 
+    @property
+    def pslot(self):
+        """Dense per-page portal-slot id, riding the run bits (7-14,
+        zero on non-portal cells in both backends - worlddev
+        portal_slot_tables).  Meaningful only on portal cells; runx/
+        runz of a portal-cell lane read slot bits instead of runs,
+        which is sound because portal lanes never take the stepping
+        path that consumes them (goes/cont exclude cls == PORTAL)."""
+        return (self.ent >> 7) & 0xFF
+
 
 class Env(NamedTuple):
     """Backend services for the shared tracer semantics."""
@@ -106,7 +116,9 @@ class Env(NamedTuple):
     # fn(cx, cz, page) -> CellFields (OOB clamps to cell 0 of the
     # lane's page; page is None in single-page worlds)
     fetch: Any
-    # fn(cell_idx) -> (pkind, prot, pdcx, pdcz[, dpage when paged])
+    # fn(state) -> (pkind, prot, pdcx, pdcz[, dpage when paged]) of the
+    # lane's current cell; backends fetch via the dense slot table
+    # (fields.pslot) or the full word table (cell_index), bit-identical
     fetch_portal: Any
     sphere_pass: Any   # fn(state, inb, fields) -> aux 4-tuple (or None)
     randfs: Any        # fn(seed) -> (seed, f32 value)
@@ -634,11 +646,10 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig,
     # was 23: Mosaic materializes every yielded lane, so returning the
     # whole SegState here costs more than the event math it skips.
     def portal_calc(s_):
-        cidx = cell_index(s_)
         if env.paged:
-            pkind, prot, pdcx, pdcz, dpage = env.fetch_portal(cidx)
+            pkind, prot, pdcx, pdcz, dpage = env.fetch_portal(s_)
         else:
-            pkind, prot, pdcx, pdcz = env.fetch_portal(cidx)
+            pkind, prot, pdcx, pdcz = env.fetch_portal(s_)
             dpage = s_.cx  # placeholder, unused
         cxp = s_.cx + pdcx
         czp = s_.cz + pdcz

@@ -112,15 +112,37 @@ def make_env(world: W.WorldDev, meta: W.WorldMeta,
             f"n_spheres={meta.n_spheres} exceeds the 1023-sphere "
             "aux_idx packing bound")
 
+    # per-cell packed entry, precomputed ONCE (decode_word is
+    # elementwise): per-step fetch = one gather, no repacking.  Portal
+    # cells additionally carry their dense slot id in the run bits
+    # (zero there otherwise; see CellFields.pslot / worlddev
+    # portal_slot_tables), pointing into the compact record table that
+    # replaces the full-word gather in fetch_portal.
+    ent_tab = decode_word(world.word).ent
+    if meta.pslots:
+        slot, ptab = W.portal_slot_tables(world.word, meta.n_pages,
+                                          meta.pslots)
+        is_p = (world.word & 0xF) == W.PORTAL
+        ent_tab = ent_tab | jnp.where(is_p, slot << 7, 0)
+
     def fetch(cx, cz, page) -> CellFields:
         idx = flat_cell_index(cx, cz, page if paged else None)
-        w = jnp.take(world.word, idx, mode="clip")
-        return decode_word(w)
+        return CellFields(ent=jnp.take(ent_tab, idx, mode="clip"))
 
-    def fetch_portal(cell_idx):
-        w = jnp.take(world.word, cell_idx, mode="clip")
-        out = decode_portal_word(w)
-        return out + (W.w_dpage(w),) if paged else out
+    if meta.pslots:
+        def fetch_portal(s_):
+            idx = s_.fields.pslot
+            if paged:
+                idx = idx + s_.page * meta.pslots
+            r = jnp.take(ptab, idx, mode="clip")
+            out = (r & 3, (r >> 2) & 3,
+                   ((r >> 4) & 0x7F) - 64, ((r >> 11) & 0x7F) - 64)
+            return out + ((r >> 18) & 0xF,) if paged else out
+    else:
+        def fetch_portal(s_):
+            w = jnp.take(world.word, cell_index(s_), mode="clip")
+            out = decode_portal_word(w)
+            return out + (W.w_dpage(w),) if paged else out
 
     # cell-driven bucket scan: parity mode only.  The fast path covers
     # every lane with hoisted candidates (re-derived on line-change

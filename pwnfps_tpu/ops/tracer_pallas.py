@@ -69,8 +69,13 @@ def _rows(parity: bool) -> int:
 
 
 class PallasTables(NamedTuple):
-    word: jnp.ndarray    # [WC*ROWS,128] i32: full channel word, bcast
+    word: jnp.ndarray    # [WC,128] i32 full channel word, unreplicated
+                         # ([1,128] zeros when the slot path replaces
+                         # its only consumer, the portal fetch)
     cword: jnp.ndarray   # [CC*ROWS,128] i32: compact byte/cell (4/i32)
+    ptab: jnp.ndarray    # [P*pslots/128,128] i32 dense portal records
+                         # (worlddev.portal_slot_tables; [1,128] zeros
+                         # when the slot path is off)
     mask: jnp.ndarray    # [WC*ROWS,128] i32: sphere membership bits
                          # (parity mode only; [1,128] zeros in fast)
     sph: jnp.ndarray     # [SPH_ROWS, 8] f32: x,y,z,r,refl,cb,cg,cr
@@ -98,6 +103,13 @@ def _pack4(cfg, has_clear: bool) -> bool:
 def _cchunks(lh: int, pack4: bool = False) -> int:
     # 64*lh cells / (2 or 4) per i32 / 128 lanes
     return lh // 8 if pack4 else lh // 4
+
+
+def _use_slot(pslots: int, pack4: bool) -> bool:
+    """Portal fetch via the dense slot table?  Needs the slot id in
+    the compact entry's run bits (pack2 only - the 7-bit pack4 entry
+    has no room) and a capacity-sized table (pslots > 0)."""
+    return pslots > 0 and not pack4
 
 
 def build_tables(world: W.WorldDev, meta: W.WorldMeta,
@@ -134,12 +146,23 @@ def build_tables(world: W.WorldDev, meta: W.WorldMeta,
     w = world.word[:ncell]
     cls = W.w_cls(w)
     not_p = cls != W.PORTAL
+    use_slot = _use_slot(meta.pslots, pack4)
     cent = (cls | (xcls_compress(W.w_xcls(w)) << 4)
             | (jnp.where(W.w_nsph(w) > 0, 1, 0) << 6))
     if not pack4:
         cent = (cent
                 | (jnp.where(not_p, W.w_runx(w), 0) << 7)
                 | (jnp.where(not_p, W.w_runz(w), 0) << 11))
+    if use_slot:
+        # portal cells: dense slot id in the (zero) run bits, keyed
+        # into ptab - the full word table leaves VMEM entirely
+        slot, ptab_flat = W.portal_slot_tables(world.word,
+                                               meta.n_pages,
+                                               meta.pslots)
+        cent = cent | jnp.where(not_p, 0, slot[:ncell] << 7)
+        ptab = ptab_flat.reshape(-1, 128)
+    else:
+        ptab = jnp.zeros((1, 128), jnp.int32)
     if paged:
         # portal cells of a paged world repurpose the nsph bits as the
         # target page, so their has_sph compact bit must stay clear
@@ -205,8 +228,11 @@ def build_tables(world: W.WorldDev, meta: W.WorldMeta,
 
     # the full word table only feeds the rare, cond-gated portal fetch:
     # keep it unreplicated ([chunks,128]) and broadcast on the fly -
-    # ROWS x smaller VMEM for one extra op per chunk on portal steps
-    return PallasTables(word=plain_chunks(world.word), cword=cword_b,
+    # ROWS x smaller VMEM for one extra op per chunk on portal steps.
+    # With the slot path its consumer is gone: ship [1,128] zeros.
+    word = (jnp.zeros((1, 128), jnp.int32) if use_slot
+            else plain_chunks(world.word))
+    return PallasTables(word=word, cword=cword_b, ptab=ptab,
                         mask=mask, sph=sph, spht=spht,
                         rsqrt=bcast_u32(world.rsqrt_tab, 64),
                         rcp=bcast_u32(world.rcp_tab, 32))
@@ -386,27 +412,47 @@ def _sphere_pass_pallas(mask_ref, sph_ref, n_spheres: int, math: Math,
 
 
 def _kernel(cfg: RenderConfig, n_spheres: int, lh: int, has_clear: bool,
-            n_pages: int, sphere_page: int, pack: bool,
-            word_ref, cword_ref, mask_ref, sph_ref, spht_ref,
+            n_pages: int, sphere_page: int, pack: bool, pslots: int,
+            word_ref, cword_ref, ptab_ref, mask_ref, sph_ref, spht_ref,
             rsqrt_ref, rcp_ref, sec_ref, page0_ref,
             fx, fy, fz, rx, ry, rz, seed_ref, *outs):
     rows = _rows(cfg.parity)
     paged = n_pages > 1
     pack4 = _pack4(cfg, has_clear)
+    use_slot = _use_slot(pslots, pack4)
 
     def fetch(cx, cz, page) -> CellFields:
         return _compact_fetch(cword_ref, cx, cz, rows,
                               _cchunks(lh, pack4), page, n_pages,
                               pack4)
 
-    def fetch_portal(cell_idx):
-        # the word table is unreplicated (build_tables): broadcast each
-        # chunk row on the fly - this path is portal-cond-gated, rare
-        w = _chunked_gather_paged(word_ref, cell_idx,
-                                  _wchunks(lh) * n_pages)
-        if paged:
-            return decode_portal_word(w) + (W.w_dpage(w),)
-        return decode_portal_word(w)
+    if use_slot:
+        def fetch_portal(s_):
+            # dense record keyed by the entry's slot id: a 1-2 chunk
+            # gather instead of scanning the full word table; field
+            # values identical bits (worlddev.portal_slot_tables)
+            idx = s_.fields.pslot
+            if paged:
+                idx = idx + s_.page * pslots
+            chunks = n_pages * pslots // 128
+            if chunks == 1:
+                # idx <= 127 by capacity: one gather, no chunk scan
+                row = jnp.broadcast_to(ptab_ref[0:1, :], idx.shape)
+                r = jnp.take_along_axis(row, idx, axis=1)
+            else:
+                r = _chunked_gather_paged(ptab_ref, idx, chunks)
+            out = (r & 3, (r >> 2) & 3,
+                   ((r >> 4) & 0x7F) - 64, ((r >> 11) & 0x7F) - 64)
+            return out + ((r >> 18) & 0xF,) if paged else out
+    else:
+        def fetch_portal(s_):
+            # the word table is unreplicated (build_tables): broadcast
+            # each chunk row on the fly - portal-cond-gated, rare
+            w = _chunked_gather_paged(word_ref, cell_index(s_),
+                                      _wchunks(lh) * n_pages)
+            if paged:
+                return decode_portal_word(w) + (W.w_dpage(w),)
+            return decode_portal_word(w)
 
     math = _parity_math(rsqrt_ref, rcp_ref, rows) if cfg.parity \
         else _fast_math()
@@ -477,10 +523,11 @@ def _kernel(cfg: RenderConfig, n_spheres: int, lh: int, has_clear: bool,
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "n_spheres", "n_rays", "lh",
                                     "has_clear", "n_pages",
-                                    "sphere_page", "pack"))
+                                    "sphere_page", "pack", "pslots"))
 def _trace_pallas(tables: PallasTables, cfg: RenderConfig,
                   n_spheres: int, n_rays: int, lh: int, has_clear: bool,
                   n_pages: int, sphere_page: int, pack: bool,
+                  pslots: int,
                   fx, fy, fz, rx, ry, rz, seeds, sec, page0):
     tile = PARITY_TILE if cfg.parity else TILE
     ROWS = tile // 128
@@ -510,11 +557,17 @@ def _trace_pallas(tables: PallasTables, cfg: RenderConfig,
     wrep = 1 if paged else ROWS    # paged cell tables are unreplicated
     mask_shape = ((_wchunks(lh) * n_pages * wrep, 128) if cfg.parity
                   else (1, 128))
+    use_slot = _use_slot(pslots, _pack4(cfg, has_clear))
+    word_shape = ((1, 128) if use_slot
+                  else (_wchunks(lh) * n_pages, 128))
+    ptab_shape = ((n_pages * pslots // 128, 128) if use_slot
+                  else (1, 128))
     grid_spec = pl.GridSpec(
         grid=(tiles,),
-        in_specs=[full((_wchunks(lh) * n_pages, 128)),
+        in_specs=[full(word_shape),
                   full((_cchunks(lh, _pack4(cfg, has_clear))
                         * n_pages * wrep, 128)),
+                  full(ptab_shape),
                   full(mask_shape),
                   full((SPH_ROWS, 8)), full((8, 128)),
                   full((64 * ROWS, 128) if cfg.parity else (1, 128)),
@@ -528,10 +581,10 @@ def _trace_pallas(tables: PallasTables, cfg: RenderConfig,
     i32s = jax.ShapeDtypeStruct((tiles * ROWS, 128), jnp.int32)
     outs = [i32s, f32s] if pack else [f32s] * 5
     kern = functools.partial(_kernel, cfg, n_spheres, lh, has_clear,
-                             n_pages, sphere_page, pack)
+                             n_pages, sphere_page, pack, pslots)
     res = pl.pallas_call(
         kern, out_shape=outs, grid_spec=grid_spec,
-    )(tables.word, tables.cword, tables.mask, tables.sph,
+    )(tables.word, tables.cword, tables.ptab, tables.mask, tables.sph,
       tables.spht, tables.rsqrt, tables.rcp, sec2, page2,
       fx, fy, fz, rx, ry, rz, seeds)
 
@@ -562,6 +615,6 @@ def trace_wave_pallas(world: W.WorldDev, meta: W.WorldMeta,
     n = ifrom.x.shape[0]
     return _trace_pallas(tables, cfg, meta.n_spheres, n, meta.lh,
                          meta.has_clear, meta.n_pages, meta.sphere_page,
-                         pack,
+                         pack, meta.pslots,
                          ifrom.x, ifrom.y, ifrom.z,
                          iray.x, iray.y, iray.z, seed, sec, page0)

@@ -100,6 +100,14 @@ class WorldMeta:
     # page of every sphere (paged worlds keep all spheres on one page;
     # the hoisted candidate pass gates on it)
     sphere_page: int = 0
+    # padded per-page portal-slot capacity (multiple of 128), or 0 to
+    # disable the slot path (some page holds > 256 portals, or a
+    # hand-built meta that never computed it).  When set, portal
+    # cells' compact entry carries a dense slot id in the
+    # (otherwise-zero) run bits, so the rare portal fetch gathers ONE
+    # packed record from a [n_pages * pslots] table instead of
+    # scanning the full per-cell word table (portal_slot_tables).
+    pslots: int = 0
 
 
 def _cls_to_refined(level: LevelData) -> np.ndarray:
@@ -245,7 +253,8 @@ def build_world(level: LevelData, spheres: SphereSet, tables: SseTables,
                int(cnt_rows.max()) if cnt_rows.size else 0)
     lh = min(64, -(-(last + 1) // 8) * 8)
     return dev, WorldMeta(k_bucket=k_needed, n_spheres=max(n, 0), lh=lh,
-                          has_clear=bool(runs.any()))
+                          has_clear=bool(runs.any()),
+                          pslots=_pslot_capacity(word, 1))
 
 
 # word decode helpers (work on numpy or jnp int32 arrays)
@@ -296,6 +305,54 @@ def w_dpage(w):
     return (w >> 26) & 0xF
 
 
+def _pslot_capacity(words: np.ndarray, n_pages: int) -> int:
+    """Padded per-page slot capacity for WorldMeta.pslots: the max
+    portal count over pages rounded up to a 128-lane multiple (>= 128,
+    so no-portal worlds still route the cross-fired portal fetch to a
+    tiny zero table), or 0 when some page exceeds the 8-bit slot-id
+    budget of the compact entry (256)."""
+    isp = (words.reshape(n_pages, 4096) & 0xF) == PORTAL
+    npmax = int(isp.sum(axis=1).max())
+    if npmax > 256:
+        return 0
+    return max(128, -(-npmax // 128) * 128)
+
+
+def portal_slot_tables(word, n_pages: int, pslots: int):
+    """Dense portal records + per-cell slot ids (jnp- or numpy-safe).
+
+    Returns (slot [P*4096] i32: the cell's portal rank within its page,
+    meaningful only on portal cells; ptab [P*pslots] i32 records).
+    Record layout: pkind(0-1) | prot(2-3) | pdcx+64(4-10) |
+    pdcz+64(11-17) | dpage(18-21, paged worlds only - a single page's
+    bits 26..29 hold the bucket count, not a page).  Field values are
+    exactly the w_* decodes of the portal cell's word, so a slot fetch
+    is bit-identical to the full-table fetch it replaces."""
+    if isinstance(word, np.ndarray):
+        xp = np
+    else:
+        import jax.numpy as xp  # lazy: worlddev itself stays jax-free
+    isp = (word & 0xF) == PORTAL
+    slot = (xp.cumsum(isp.reshape(n_pages, 4096).astype(np.int32),
+                      axis=1) - 1).reshape(-1)
+    rec = (w_pkind(word) | (w_prot(word) << 2)
+           | ((w_pdcx(word) + 64) << 4)
+           | ((w_pdcz(word) + 64) << 11))
+    if n_pages > 1:
+        rec = rec | (w_dpage(word) << 18)
+    page_of = xp.arange(n_pages * 4096, dtype=np.int32) // 4096
+    n = n_pages * pslots
+    idx = xp.where(isp, page_of * pslots + slot, n)
+    if xp is np:
+        ptab = np.zeros(n + 1, np.int32)
+        ptab[idx] = rec
+        ptab = ptab[:n]
+    else:
+        ptab = xp.zeros(n, np.int32).at[idx].set(
+            rec.astype(np.int32), mode="drop")
+    return slot.astype(np.int32), ptab
+
+
 def build_world_paged(static_words: np.ndarray, spheres: SphereSet,
                       sphere_page: int, tables: SseTables
                       ) -> tuple[WorldDev, WorldMeta]:
@@ -339,4 +396,5 @@ def build_world_paged(static_words: np.ndarray, spheres: SphereSet,
                      .any())
     return dev, WorldMeta(k_bucket=k_needed, n_spheres=max(n, 0),
                           lh=64, n_pages=P, sphere_page=sphere_page,
-                          has_clear=has_clear)
+                          has_clear=has_clear,
+                          pslots=_pslot_capacity(words, P))

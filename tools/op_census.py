@@ -44,9 +44,10 @@ def build(nospheres: bool, noskip: bool, chunk: int):
     from pwnfps_tpu.ops import tracer_pallas as TP
     from pwnfps_tpu.ops import worlddev as W
     from pwnfps_tpu.ops.tracer_core import (
-        Env, _apply_aux, _pack_carry, _unpack_carry, compute_flags,
-        decode_portal_word, init_segment, make_sphere_all,
-        make_sphere_rel, make_sphere_view, segment_body)
+        Env, _apply_aux, _pack_carry, _unpack_carry, cell_index,
+        compute_flags, decode_portal_word, init_segment,
+        make_sphere_all, make_sphere_rel, make_sphere_view,
+        segment_body)
     from pwnfps_tpu.ops.vec import V3
     from pwnfps_tpu.world.levelc import load_level
     from pwnfps_tpu.world.objects import ObjectPool
@@ -84,10 +85,17 @@ def build(nospheres: bool, noskip: bool, chunk: int):
         return TP._compact_fetch(tabs.cword, cx, cz, rows,
                                  TP._cchunks(lh, pack4), page, 1, pack4)
 
-    def fetch_portal(cell_idx):
-        w = TP._chunked_gather_paged(tabs.word, cell_idx,
-                                     TP._wchunks(lh))
-        return decode_portal_word(w)
+    if TP._use_slot(meta.pslots, pack4):
+        def fetch_portal(s_):
+            r = TP._chunked_gather_paged(tabs.ptab, s_.fields.pslot,
+                                         meta.pslots // 128)
+            return (r & 3, (r >> 2) & 3,
+                    ((r >> 4) & 0x7F) - 64, ((r >> 11) & 0x7F) - 64)
+    else:
+        def fetch_portal(s_):
+            w = TP._chunked_gather_paged(tabs.word, cell_index(s_),
+                                         TP._wchunks(lh))
+            return decode_portal_word(w)
 
     math = TP._fast_math()
 
