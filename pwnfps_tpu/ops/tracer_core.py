@@ -631,7 +631,6 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig,
     `flags` is compute_flags of the incoming state: the tile-uniform
     branch predicates, prepacked so the body issues no reductions."""
     f = s.fields          # fetched when the ray last moved (one gather/step)
-    inb = (s.cx >= 0) & (s.cx < 64) & (s.cz >= 0) & (s.cz < 64)
     cls = f.cls
 
     # ---- merged rare-event branch: sphere refresh + portal targets --------
@@ -786,6 +785,8 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig,
         # cell-driven bucket scan (parity path): runs when some active
         # ray stands in a bucketed cell (or a portal fires - harmless,
         # the per-lane valid mask registers nothing then).
+        inb = (s.cx >= 0) & (s.cx < 64) & (s.cz >= 0) & (s.cz < 64)
+
         def fire_p(op):
             a4 = env.sphere_pass(*op)
             p = ev_calc(op[0])
@@ -824,8 +825,12 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig,
     # bit, so any step with an active ramp lane has the real values;
     # otherwise they are zeros no lane consumes: every consumer below
     # is is_ramp-masked)
+    # tilt is EXACTLY +-0 for every non-ramp lane (ramp_calc's zero
+    # coefficients / ev_skip's zeros) and ray.y is never +-0 (clamped
+    # to |y| >= eps at init), so the unconditional add is bit-identical
+    # to the is_ramp select it replaces: x + (+-0) == x for x != 0
     tilt, wy_ramp = pout[10], pout[11]
-    ray_y2 = jnp.where(is_ramp, ray.y + tilt, ray.y)
+    ray_y2 = ray.y + tilt
     ray2 = V3(ray.x, ray_y2, ray.z)
 
     # ---- empty-space skip (fast mode): a ray may take its next
@@ -877,7 +882,8 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig,
         ymin, jnp.where(gy < 0, FYN, FYP),
         jnp.where(xmin, jnp.where(gsel < 0, FXN, FXP),
                   jnp.where(gz < 0, FZN, FZP)))
-    goes = a & (is_floorish | is_tall | is_ramp)
+    marchable = is_floorish | is_tall | is_ramp
+    goes = a & marchable
     cdist2 = jnp.where(goes, s.cdist + t, s.cdist)
     pos2 = (pos + t * ray2).where(goes, pos)
     ldir2 = jnp.where(goes, ldir_t, s.ldir)
@@ -901,11 +907,14 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig,
     a = a & ~m_ryhit
 
     # ---- X/Z continuation: rebase wdist, advance cell ----------------------
-    cont = a & (is_floorish | is_tall | is_ramp)
+    cont = a & marchable
     xstep = cont & xmin
     zstep = cont & zmin
     stepped = xstep | zstep
-    sub = jnp.where(xstep, wxe, jnp.where(zstep, wze, F32(0.0)))
+    # non-stepping lanes' sub/wn* are never consumed (every consumer
+    # selects behind cont2 <= stepped), so the zstep fallback can be
+    # wze instead of 0 - one select fewer, same consumed bits
+    sub = jnp.where(xstep, wxe, wze)
     # the untaken axis keeps its ORIGINAL crossing clock (a skip on one
     # axis must not advance the other's)
     wnx = jnp.where(xstep, iavel.x, wx - sub)
@@ -926,7 +935,9 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig,
         jnp.where(ramp_go & zstep, jnp.where(ray2.z < 0.0, FZN, FZP),
                   ldir2))
     ray_y3 = jnp.where(ramp_go & stepped, ray_y2 - tilt, ray_y2)
-    ray3 = V3(ray2.x, jnp.where(is_ramp, ray_y3, ray.y), ray2.z)
+    # non-ramp lanes: ray_y3 == ray_y2 == ray.y bit-exactly (tilt is
+    # +-0 there, see ray_y2), so the old is_ramp select was an identity
+    ray3 = V3(ray2.x, ray_y3, ray2.z)
     wy_post = jnp.where(ray_y3 >= 0.0, F32(1.0) - pos2.y, pos2.y) \
         * iavel.y
     wny = jnp.where(ramp_go & stepped, wy_post, wny)
