@@ -121,6 +121,15 @@ class RenderConfig:
     # of inter-wave ray compaction on this workload; see
     # docs/PERFORMANCE.md.
     fused: bool = False
+    # distribution samples per frame (config #5 path tracing): traced
+    # in ONE device call with the primary wave SHARED across samples -
+    # wave 0 never consumes the RNG seed, so per-sample primaries are
+    # bit-identical and tracing them per sample (as the old 4-call
+    # render_accumulated did) was pure waste.  Sample k's seed stream
+    # is base + k * 0x9E3779B9 (Weyl), unchanged.  The accumulated
+    # mean reproduces the old path's float ops in the same order, so
+    # results are bit-identical on non-FMA-contracting backends.
+    samples: int = 1
 
     @property
     def n_waves(self) -> int:

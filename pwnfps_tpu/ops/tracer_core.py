@@ -1524,42 +1524,69 @@ def trace_wave_env(env: Env, cfg: RenderConfig, ifrom: V3, iray: V3,
 
     Fast mode uses the fused loop (run_fused, bit-identical results);
     parity mode and profile runs keep the per-wave structure (the
-    serial wave boundary is what tstep telemetry measures)."""
+    serial wave boundary is what tstep telemetry measures).
+
+    cfg.samples > 1 (distribution path tracing, BASELINE config #5):
+    the PRIMARY wave consumes no RNG, so it is traced ONCE and shared;
+    each sample's chain diverges only at the first shade's bounce
+    jitter (seed stream base + k*0x9E3779B9, as render_accumulated's
+    old per-sample calls used).  The returned colour is the sample
+    mean, accumulated with the old path's float ops in order."""
     if cfg.fused and not cfg.parity and not cfg.profile:
+        assert cfg.samples == 1, "fused loop is single-sample"
         return run_fused(env, cfg, ifrom, iray, seed, sec, page)
     one = jnp.ones_like(ifrom.x)
     active = one > 0.0
-    icol = C4(one, one, one, one)
+    icol0 = C4(one, one, one, one)
     sec = F32(sec)
 
-    bases, refls, bounces, fogs = [], [], [], []
-    dist0 = None
-    cur_from, cur_ray = ifrom, iray
-    for k in range(cfg.n_waves):
-        out = run_segment(env, cfg, cur_from, cur_ray, active, page)
-        page = out.tpage     # bounce waves continue in the hit's page
-        depth_ok = k < cfg.reflect
-        base, refl, bounce, mpos, mray, seed = shade_and_bounce(
-            out, icol, seed, sec, depth_ok, env, water=cfg.water)
-        if k == 0:
-            dist0 = out.tdist
-        bases.append(base)
-        refls.append(refl)
-        bounces.append(bounce)
-        fogs.append(out.tfog)
-        icol = base
-        cur_from, cur_ray = mpos, mray
-        active = bounce
+    out0 = run_segment(env, cfg, ifrom, iray, active, page)
+    dist0 = out0.tdist
 
-    # unwind blend (trace_hit_bounce:86-105)
-    col = bases[-1]
-    for k in range(cfg.n_waves - 2, -1, -1):
-        blended = refls[k] * col + (F32(1.0) - refls[k]) * bases[k]
-        fogf = env.math.exp(F32(-0.6) * fogs[k])
-        fogged = fogf * blended + (F32(1.0) - fogf)
-        res = fogged.where(fogs[k] != F32(0.0), blended)
-        col = res.where(bounces[k], bases[k])
-    return col, dist0
+    def chain(seed):
+        """Shade+bounce waves 1.. from the shared primary SegOut;
+        returns the unwind-blended colour (trace_hit_bounce:86-105)."""
+        bases, refls, bounces, fogs = [], [], [], []
+        out = out0
+        icol = icol0
+        pg = cur_from = cur_ray = act = None
+        for k in range(cfg.n_waves):
+            if k > 0:
+                out = run_segment(env, cfg, cur_from, cur_ray, act, pg)
+            pg = out.tpage   # bounce waves continue in the hit's page
+            depth_ok = k < cfg.reflect
+            base, refl, bounce, mpos, mray, seed = shade_and_bounce(
+                out, icol, seed, sec, depth_ok, env, water=cfg.water)
+            bases.append(base)
+            refls.append(refl)
+            bounces.append(bounce)
+            fogs.append(out.tfog)
+            icol = base
+            cur_from, cur_ray = mpos, mray
+            act = bounce
+        col = bases[-1]
+        for k in range(cfg.n_waves - 2, -1, -1):
+            blended = refls[k] * col + (F32(1.0) - refls[k]) * bases[k]
+            fogf = env.math.exp(F32(-0.6) * fogs[k])
+            fogged = fogf * blended + (F32(1.0) - fogf)
+            res = fogged.where(fogs[k] != F32(0.0), blended)
+            col = res.where(bounces[k], bases[k])
+        return col
+
+    if cfg.samples == 1:
+        return chain(seed), dist0
+    acc = None
+    for smp in range(cfg.samples):
+        # Weyl-decorrelated seed stream; uint32 k*C wraps identically
+        # under the pallas backend's int32 seeds (two's complement)
+        off = (smp * 0x9E3779B9) & 0xFFFFFFFF
+        if seed.dtype == jnp.int32 and off >= (1 << 31):
+            off -= 1 << 32
+        col = chain(seed + seed.dtype.type(off))
+        acc = list(col) if acc is None else [a + c
+                                             for a, c in zip(acc, col)]
+    inv = F32(1.0 / cfg.samples)
+    return C4(*(a * inv for a in acc)), dist0
 
 
 def col_ftoint(col: C4):

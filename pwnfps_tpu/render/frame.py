@@ -163,35 +163,29 @@ def render_accumulated(world: W.WorldDev, meta: W.WorldMeta,
                        samples: int = 4):
     """Distribution path tracing (BASELINE config #5): average `samples`
     renders whose stochastic parts (reflect blur, DoF jitter) are
-    decorrelated by re-deriving the per-pixel seed stream per sample.
+    decorrelated by a Weyl increment on the per-pixel seed stream.
     Use with cfg.reflect > 2 for deep multi-bounce transport.
+
+    All samples trace in ONE device call with the primary wave shared
+    (it consumes no RNG - see trace_wave_env); the mean reproduces the
+    old per-sample-call accumulation's float ops in order.
 
     Returns (fb uint32 [h,w] of the averaged image, zbuf of sample 0).
     """
+    import dataclasses
+
     h, w = cfg.height, cfg.width
+    cfg = dataclasses.replace(cfg, samples=samples)
     rays = gen_rays(rayb, rdx, rdy, w, h, cfg.parity)
     n = h * w
     xs = jnp.arange(w, dtype=jnp.uint32)
     ys = jnp.arange(h, dtype=jnp.uint32)
-    base_seed = lcg.pixel_seed(xs[None, :], ys[:, None], w).reshape(-1)
+    seeds = lcg.pixel_seed(xs[None, :], ys[:, None], w).reshape(-1)
     ifrom = V3(jnp.broadcast_to(origin[0], (n,)),
                jnp.broadcast_to(origin[1], (n,)),
                jnp.broadcast_to(origin[2], (n,)))
-    acc = None
-    zbuf0 = None
-    for k in range(samples):
-        # decorrelate via a Weyl increment on the seed stream
-        seeds = base_seed + jnp.uint32(k) * jnp.uint32(0x9E3779B9)
-        col4, dist = _trace_cols(world, meta, cfg, ifrom, rays, seeds,
-                                 sec, h, w)
-        if k == 0:
-            zbuf0 = dist
-            acc = list(col4)
-        else:
-            acc = [a + c for a, c in zip(acc, col4)]
-    inv = jnp.float32(1.0 / samples)
-    from ..ops.vec import C4
-    mean = C4(*(a * inv for a in acc))
+    mean, zbuf0 = _trace_cols(world, meta, cfg, ifrom, rays, seeds,
+                              sec, h, w)
     fb = col_ftoint(mean)
     if cfg.postproc_blur:
         fb = _blur(cfg, fb, zbuf0)
