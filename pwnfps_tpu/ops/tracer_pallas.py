@@ -264,17 +264,59 @@ def _chunked_gather_paged(tab_ref, idx, chunks):
     return out
 
 
+_PAGE_UNIFORM = _os.environ.get("PWNFPS_PAGE_UNIFORM", "1") != "0"
+
+
 def _compact_fetch(cword_ref, cx, cz, rows, chunks, page=None,
                    n_pages=1, pack4=False) -> CellFields:
     """Common-path fields from the packed cell table: one chunked
     gather + sub-word extract (2 16-bit entries per i32, or 4 8-bit
     entries when pack4 - see _pack4).  Cells beyond the table (grid
-    rows >= meta.lh) miss every chunk and read 0 == the pad entry."""
-    idx = flat_cell_index(cx, cz, page if n_pages > 1 else None)
-    widx = idx >> 2 if pack4 else idx >> 1
+    rows >= meta.lh) miss every chunk and read 0 == the pad entry.
+
+    Paged worlds: tiles are 64x128-PIXEL blocks, so their rays cross
+    portals (the only page changes) nearly together - measured 100%
+    of live maze-bench tile-steps have every lane on one page
+    (tools/page_uniform.py).  The fetch therefore scans only that
+    page's `chunks` table rows, selected dynamically via the same
+    uniform-index take_along_axis rows the blur's banding uses, with
+    a tile-mixed fallback cond scanning all pages (bit-identical: the
+    same words reach the same lanes either way)."""
     if n_pages > 1:
-        word = _chunked_gather_paged(cword_ref, widx, chunks * n_pages)
+        idx_l = flat_cell_index(cx, cz, None)       # page-local
+        widx_l = idx_l >> 2 if pack4 else idx_l >> 1
+        pmin = jnp.min(page)
+        pmax = jnp.max(page)
+
+        def scan_one(_):
+            lo = widx_l & 127
+            hi = widx_l >> 7
+            base = pmin * chunks
+            tab = cword_ref[...]
+            rsel = jnp.zeros((1, 128), jnp.int32)
+            out = jnp.zeros_like(widx_l)
+            for c in range(chunks):
+                row = jnp.take_along_axis(tab, rsel + (base + c),
+                                          axis=0)
+                g = jnp.take_along_axis(
+                    jnp.broadcast_to(row, widx_l.shape), lo, axis=1)
+                out = jnp.where(hi == c, g, out)
+            return out
+
+        def scan_all(_):
+            idx = flat_cell_index(cx, cz, page)
+            widx = idx >> 2 if pack4 else idx >> 1
+            return _chunked_gather_paged(cword_ref, widx,
+                                         chunks * n_pages)
+
+        if _PAGE_UNIFORM:
+            word = jax.lax.cond(pmin == pmax, scan_one, scan_all, 0)
+        else:
+            word = scan_all(0)
+        idx = idx_l
     else:
+        idx = flat_cell_index(cx, cz, None)
+        widx = idx >> 2 if pack4 else idx >> 1
         word = _chunked_gather(cword_ref, widx, rows, chunks=chunks)
     if pack4:
         ent = (word >> ((idx & 3) * 8)) & 0x7F
