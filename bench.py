@@ -119,6 +119,10 @@ def main() -> int:
         times.append(time.perf_counter() - t0)
     fps = frames / min(times)
 
+    # ray throughput (BASELINE.json metric "Mrays/sec/chip"): every
+    # frame launches width*height primary rays plus one bounce-wave
+    # ray per pixel per reflection level (cfg.n_waves segments/pixel)
+    mrays = fps * width * height * cfg.n_waves / 1e6
     print(json.dumps({
         "metric": (f"fps@1080p(trace+DoF,{depth}-deep pipeline,"
                    f"best-of-{reps})"),
@@ -128,6 +132,7 @@ def main() -> int:
         "reps": reps,
         "frames_per_rep": frames,
         "rep_fps": [round(frames / t, 2) for t in times],
+        "mrays_per_sec": round(mrays, 1),
     }))
     return 0
 
