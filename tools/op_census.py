@@ -158,7 +158,13 @@ def build(nospheres: bool, noskip: bool, chunk: int):
 
     c0 = _pack_carry(s0, False, False) if pack else s0
     import jax as _jax
-    jaxpr = _jax.make_jaxpr(body)((jnp.int32(0), fl0, c0))
+    # jnp.* wrappers are jit-cached and a cached trace keeps its FIRST
+    # caller's source lines (even across call sites within one trace) -
+    # disable_jit makes the wrappers inline at their real call sites so
+    # --lines attribution is exact; op counts are unchanged
+    _jax.clear_caches()
+    with _jax.disable_jit():
+        jaxpr = _jax.make_jaxpr(body)((jnp.int32(0), fl0, c0))
 
     # standalone pieces, to apportion the unconditional body
     pieces = {}
@@ -189,7 +195,19 @@ def _wide_planes(v):
         return 0
 
 
-def census(jaxpr, region, acc, per_prim):
+def _src_line(eqn):
+    """Best user-frame `file:line` for an eqn (jaxpr source_info)."""
+    try:
+        from jax._src import source_info_util
+        fr = source_info_util.user_frame(eqn.source_info.traceback)
+        if fr is None:
+            return "?"
+        return f"{os.path.basename(fr.file_name)}:{fr.start_line}"
+    except Exception:
+        return "?"
+
+
+def census(jaxpr, region, acc, per_prim, per_line=None):
     """Count lane-plane outputs per eqn, by region and primitive."""
     for eqn in jaxpr.eqns:
         prim = eqn.primitive.name
@@ -204,11 +222,12 @@ def census(jaxpr, region, acc, per_prim):
             brs = eqn.params["branches"]
             base = "" if region == "chunkbody" else region + "/"
             # branch order: index 0 = false (skip), 1 = true (fire)
-            census(brs[0].jaxpr, base + "skip", acc, per_prim)
-            census(brs[1].jaxpr, base + "fire", acc, per_prim)
+            census(brs[0].jaxpr, base + "skip", acc, per_prim, per_line)
+            census(brs[1].jaxpr, base + "fire", acc, per_prim, per_line)
             continue
         if prim == "while":
-            census(eqn.params["body_jaxpr"].jaxpr, region, acc, per_prim)
+            census(eqn.params["body_jaxpr"].jaxpr, region, acc, per_prim,
+                   per_line)
             continue
         sub = None
         for k in ("jaxpr", "call_jaxpr"):
@@ -216,12 +235,15 @@ def census(jaxpr, region, acc, per_prim):
                 sub = eqn.params[k]
                 break
         if sub is not None:
-            census(getattr(sub, "jaxpr", sub), region, acc, per_prim)
+            census(getattr(sub, "jaxpr", sub), region, acc, per_prim,
+                   per_line)
             continue
         w = sum(_wide_planes(v) for v in eqn.outvars)
         if w:
             acc[region] += w
             per_prim[(region, prim)] += w
+            if per_line is not None:
+                per_line[(region, _src_line(eqn))] += w
 
 
 def main() -> int:
@@ -233,6 +255,8 @@ def main() -> int:
                     help="merged event-cond fire rate per live "
                          "tile-step (tools/firerate.py default level)")
     ap.add_argument("--top", type=int, default=18)
+    ap.add_argument("--lines", type=int, default=0,
+                    help="also list the top-N source lines by planes")
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
@@ -242,7 +266,8 @@ def main() -> int:
     jaxpr, sh, pieces = build(args.nospheres, args.noskip, args.chunk)
     acc = defaultdict(int)
     per_prim = defaultdict(int)
-    census(jaxpr.jaxpr, "chunkbody", acc, per_prim)
+    per_line = defaultdict(int) if args.lines else None
+    census(jaxpr.jaxpr, "chunkbody", acc, per_prim, per_line)
     piece_tot = {}
     for name, pj in pieces.items():
         pa, pp = defaultdict(int), defaultdict(int)
@@ -281,6 +306,12 @@ def main() -> int:
     print(f"{'region':10s} {'primitive':28s} planes  /step")
     for (region, prim), n in rows[:args.top]:
         print(f"{region:10s} {prim:28s} {n:6d}  {n/chunk:6.1f}")
+    if per_line is not None:
+        print()
+        lrows = sorted(per_line.items(), key=lambda kv: -kv[1])
+        print(f"{'region':10s} {'source line':34s} planes  /step")
+        for (region, line), n in lrows[:args.lines]:
+            print(f"{region:10s} {line:34s} {n:6d}  {n/chunk:6.1f}")
     if args.json:
         out = {
             "tile": list(sh), "chunk": chunk,
