@@ -4,20 +4,32 @@ The XLA formulation in ops/blur.py pays ~60ms at 1080p for one big
 random gather ([4,h,w] indices into the 2M-pixel frame).  But the tap
 offsets are trunc(r * 0.002*h * (z-1)) with |r| <= 1, so for game-scale
 depth they stay within a few pixels of the source.  This kernel keeps
-the whole framebuffer in VMEM and resolves each tap by scanning the
-2*R+8 candidate rows around each output tile with hardware per-lane
-gathers against two +-16-lane rolled windows (see _blur_kernel) —
-O(R) vector ops instead of a random HBM gather.
+G=12 8-row halo groups around each output block in VMEM and resolves
+each tap by scanning the candidate rows with hardware per-lane gathers
+against rolled column windows (see _blur_kernel) — O(rows in the tap
+band) vector ops instead of a random HBM gather.  Groups outside the
+block's tap-row band skip via one pl.when each, and the outer column
+windows (reach 16..48 lanes) fire only for blocks that need them, so
+shallow-depth frames pay exactly the old 2-window near scan.
 
 Exactness: bit-identical to ops/blur.py (same LCG jump tables, same
-float expression order, same truncation/clamp/SWAR-average).  A frame
-whose max |z-1| would push any tap beyond the R-row halo falls back to
-the XLA path via lax.cond, so `dof_blur_auto` is exact for every input.
+float expression order, same truncation/clamp/SWAR-average).  The
+structure reaches fstr*|z-1| < RR-0.5 rows/lanes (33 depth units at
+720p, 22 at 1080p; the portal-chain stress scene's 21.5-unit
+sightlines previously fell back to a ~25 ms XLA gather per 720p
+frame).  Frames beyond that fall back to the XLA path via lax.cond,
+so `dof_blur_auto` is exact for every input.
+
+(A dynamic row-band variant — fori over [rmin, rmax] with dynamic ref
+slices, and earlier the PWNFPS_BLUR_BAND uniform-gather banding — was
+built and measured 47 ms/720p-frame on an all-far synthetic vs ~4 ms
+for this static-group structure: Mosaic executes dynamic-trip row
+loops far slower than unrolled static scans.  Deleted; this note is
+the record.)
 """
 
 from __future__ import annotations
 
-import os
 from functools import partial
 
 import jax
@@ -27,17 +39,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..core import lcg
-from .blur import _avg_epu8, _draw_tables, dof_blur
+from .blur import _draw_tables, dof_blur
 
 F32 = jnp.float32
 I32 = jnp.int32
-R = 16          # halo rows/cols: exact while fstr*|z-1| stays < R
 BR = 8          # output rows per grid step
-# dynamic row banding: scan only [rmin, rmax] of each live halo group
-# via a dynamic-trip fori + uniform sublane gather, instead of all 8
-# rows.  Off by default pending an on-chip win (the candidate rows
-# outside the true tap band are ~40% of the static scan).
-BAND = os.environ.get("PWNFPS_BLUR_BAND", "0") == "1"
+G = 12          # 8-row halo groups per block: rows [y0-48, y0+56)
+RR = 48         # tap reach (rows and lanes): exact while
+                # fstr*|z-1| < RR-0.5, the XLA fallback guard
 
 
 def _srl(x, n):
@@ -49,21 +58,34 @@ def _avg_i32(a, b):
     return (a | b) - (_srl(a ^ b, 1) & np.int32(0x7F7F7F7F))
 
 
-def _blur_kernel(h, w, hp, wp, fstr, fh, zb_ref, tab_ref, g0, g1, g2,
-                 g3, g4, out_ref, a0, a1, a2, a3):
+def _blur_kernel(h, w, hp, wp, fstr, fh, zb_ref, tab_ref, *refs):
     """One grid step blurs BR output rows.  The candidate source rows
-    [y0-R, y0+BR+R) arrive as five 8-row aligned block views g0..g4
-    (BlockSpec index maps i-2..i+2, clipped at the frame edges), so
-    block fetches stay static.  Each tap is resolved by scanning the
-    5x8 candidate rows with per-lane gathers keyed on (row, chunk)
-    against two +-16-lane rolled windows of each row (2 keyed gathers
-    per (row, tap); see the window derivation at the key setup).
+    [y0-48, y0+56) arrive as G=12 8-row aligned block views (BlockSpec
+    index maps i-6..i+5, clipped at the frame edges), so block fetches
+    stay static.  Each tap is resolved by scanning the fired groups'
+    8 rows with per-lane gathers keyed on (row, window chunk) against
+    rolled column windows of each row:
 
-    The row-band gate is ONE pl.when per halo group wrapping the whole
-    width (tap accumulators live in the a0..a3 VMEM scratch): the
-    earlier shape - a lax.cond per (group, lane-chunk), 5 x wp/128
-    scalar branches per block - spent more time branch-serializing
+      window roll r covers source lanes [c*128 - r, c*128 - r + 128)
+      of output chunk c.  The inner pair (rolls +16/-16) covers source
+      offsets within [-16, 144) of the chunk base — every tap when
+      fstr*|z-1| < 15.5 (the common case; this was the whole kernel's
+      reach before the outer pair existed).  The outer pair (rolls
+      +48/-48) extends coverage to [-48, 176), i.e. per-pixel offsets
+      up to +-48 lanes; it fires only when the block's measured column
+      offsets leave the inner pair's range.  A tap's key carries its
+      (row, window-chunk id): a tap outside a window self-excludes
+      (its id differs), and a tap covered by two overlapping windows
+      resolves to the same source pixel twice (idempotent select).
+
+    The row-band gate is ONE pl.when per (group, window pair) wrapping
+    the whole width (tap accumulators live in VMEM scratch): an
+    earlier shape — a lax.cond per (group, lane-chunk), 5 x wp/128
+    scalar branches per block — spent more time branch-serializing
     than gathering (10k branches per 1080p frame, measured ~2ms)."""
+    grps = refs[:G]
+    out_ref = refs[G]
+    scr = refs[G + 1:G + 5]
     nc = wp // 128
     nblk = hp // BR
     pid = pl.program_id(0)
@@ -84,22 +106,14 @@ def _blur_kernel(h, w, hp, wp, fstr, fh, zb_ref, tab_ref, g0, g1, g2,
     # boundaries than the reference's per-frame arithmetic
     yf = yl.astype(F32)
     z = zb_ref[...] - F32(1.0)
-    # Two-window column resolve: tap x offsets reach < 16 lanes
-    # (|fstr*(z-1)| < R-0.5 or the caller fell back), so an output
-    # chunk's taps span < 160 lanes - coverable by TWO 128-lane windows
-    # anchored at the chunk, against rolled copies of each halo row:
-    #   window A = rows rolled +16:  RA[l] = row[(l-16) mod wp], whose
-    #     chunk c covers source lanes [c*128-16, c*128+112)
-    #   window B = rows rolled -16:  RB[l] = row[(l+16) mod wp], whose
-    #     chunk c covers source lanes [c*128+16, c*128+144)
-    # Every tap of an output pixel in chunk c lands in A's or B's
-    # chunk-c window; the (row, chunk) key carries the tap's WINDOW
-    # chunk id, so a tap in the other window self-excludes (its id is
-    # c+-1), and a tap in both windows resolves to the same source
-    # pixel twice (idempotent).  2 keyed gathers per (row, tap)
-    # instead of the previous 3-neighbour-chunk scan's 3.
-    keys_a, keys_b, los_a, los_b = [], [], [], []
+    cbase = xs & np.int32(~127)     # each lane's own 128-chunk base
+    # per-window keys and in-window lane offsets per tap: a window
+    # rolled by r holds source lane (txi) at lane txi+r, so its lane
+    # offset is (txi+r) & 127 and its key chunk id (txi+r) >> 7
+    keys = [[], []]     # [pair][tap] -> (key_a, key_b) planes
+    los = [[], []]      # [pair][tap] -> (lo_a, lo_b) planes
     tymins, tymaxs = [], []
+    cmins, cmaxs = [], []
     for i in range(4):
         stx = (s1 * tab_ref[i:i + 1, :]
                + tab_ref[4 + i:5 + i, :]) & np.int32(0x7FFFFFFF)
@@ -113,89 +127,77 @@ def _blur_kernel(h, w, hp, wp, fstr, fh, zb_ref, tab_ref, g0, g1, g2,
         ty = yf + (ry * F32(fstr)) * z
         txi = jnp.clip(tx.astype(I32), 0, w - 1)
         tyi = jnp.clip(ty.astype(I32), 0, fh - 1) + base
-        la = txi + np.int32(16)
-        la = jnp.where(la >= np.int32(wp), la - np.int32(wp), la)
-        lb = txi - np.int32(16)
-        lb = jnp.where(lb < 0, lb + np.int32(wp), lb)
-        # joint (row, lane-chunk) key; 32 > any chunk count we see
-        keys_a.append(tyi * np.int32(32) + _srl(la, 7))
-        keys_b.append(tyi * np.int32(32) + _srl(lb, 7))
-        los_a.append(la & np.int32(127))
-        los_b.append(lb & np.int32(127))
+        for p, roll in ((0, 16), (1, 48)):
+            la = txi + np.int32(roll)
+            la = jnp.where(la >= np.int32(wp), la - np.int32(wp), la)
+            lb = txi - np.int32(roll)
+            lb = jnp.where(lb < 0, lb + np.int32(wp), lb)
+            # joint (row, lane-chunk) key; 32 > any chunk count we see
+            keys[p].append((tyi * np.int32(32) + _srl(la, 7),
+                            tyi * np.int32(32) + _srl(lb, 7)))
+            los[p].append((la & np.int32(127), lb & np.int32(127)))
         tymins.append(tyi.min())
         tymaxs.append(tyi.max())
+        mrel = txi - cbase
+        cmins.append(mrel.min())
+        cmaxs.append(mrel.max())
     # tap row band of the block: taps reach +-fstr*(z-1) rows (a few,
-    # typically), so most of the 5 halo groups can skip whole chunks
+    # typically), so most of the G halo groups skip entirely
     rmin = jnp.min(jnp.stack(tymins))
     rmax = jnp.max(jnp.stack(tymaxs))
+    # inner window pair covers source offsets [-16, 144) of each
+    # chunk base; blocks whose taps stay inside never run the outer
+    cmin = jnp.min(jnp.stack(cmins))
+    cmax = jnp.max(jnp.stack(cmaxs))
+    outer_cols = (cmin < np.int32(-16)) | (cmax >= np.int32(144))
 
-    grps = (g0, g1, g2, g3, g4)
-    gbase = [jnp.clip(pid - 2 + g, 0, nblk - 1) * np.int32(BR)
-             for g in range(5)]
-    scr = (a0, a1, a2, a3)
+    gbase = [jnp.clip(pid - G // 2 + g, 0, nblk - 1) * np.int32(BR)
+             for g in range(G)]
     for t in range(4):
         scr[t][...] = jnp.zeros((BR, wp), I32)
 
-    def make_scan(g):
+    def make_scan(g, p, roll):
         def scan():
             grp = grps[g][...]
-            ra = jnp.concatenate([grp[:, wp - 16:], grp[:, :wp - 16]],
-                                 axis=1)
-            rb = jnp.concatenate([grp[:, 16:], grp[:, :16]], axis=1)
-            if BAND:
-                glo = jnp.maximum(rmin - gbase[g], 0)
-                ghi = jnp.minimum(rmax - gbase[g], BR - 1)
+            ra = jnp.concatenate(
+                [grp[:, wp - roll:], grp[:, :wp - roll]], axis=1)
+            rb = jnp.concatenate(
+                [grp[:, roll:], grp[:, :roll]], axis=1)
             for c in range(nc):
                 sl = slice(c * 128, (c + 1) * 128)
-                ka_t = [k[:, sl] for k in keys_a]
-                kb_t = [k[:, sl] for k in keys_b]
-                la_t = [lo[:, sl] for lo in los_a]
-                lb_t = [lo[:, sl] for lo in los_b]
+                ka_t = [k[0][:, sl] for k in keys[p]]
+                kb_t = [k[1][:, sl] for k in keys[p]]
+                la_t = [lo[0][:, sl] for lo in los[p]]
+                lb_t = [lo[1][:, sl] for lo in los[p]]
                 acc = [scr[t][:, sl] for t in range(4)]
                 rega = ra[:, sl]
                 regb = rb[:, sl]
-
-                def taps(cha, chb, key, acc):
-                    out = list(acc)
+                for r8 in range(BR):
+                    cha = jnp.broadcast_to(rega[r8:r8 + 1, :],
+                                           (BR, 128))
+                    chb = jnp.broadcast_to(regb[r8:r8 + 1, :],
+                                           (BR, 128))
+                    key = (gbase[g] + np.int32(r8)) * np.int32(32) \
+                        + np.int32(c)
                     for t in range(4):
                         cand = jnp.take_along_axis(cha, la_t[t],
                                                    axis=1)
-                        out[t] = jnp.where(ka_t[t] == key, cand,
-                                           out[t])
+                        acc[t] = jnp.where(ka_t[t] == key, cand,
+                                           acc[t])
                         cand = jnp.take_along_axis(chb, lb_t[t],
                                                    axis=1)
-                        out[t] = jnp.where(kb_t[t] == key, cand,
-                                           out[t])
-                    return out
-
-                if BAND:
-                    def rbody(r8, acc4):
-                        ridx = jnp.full((BR, 128), r8, I32)
-                        cha = jnp.take_along_axis(rega, ridx, axis=0)
-                        chb = jnp.take_along_axis(regb, ridx, axis=0)
-                        key = (gbase[g] + r8) * np.int32(32) \
-                            + np.int32(c)
-                        return tuple(taps(cha, chb, key, list(acc4)))
-                    acc = list(jax.lax.fori_loop(glo, ghi + 1, rbody,
-                                                 tuple(acc)))
-                else:
-                    for r8 in range(BR):
-                        cha = jnp.broadcast_to(rega[r8:r8 + 1, :],
-                                               (BR, 128))
-                        chb = jnp.broadcast_to(regb[r8:r8 + 1, :],
-                                               (BR, 128))
-                        key = (gbase[g] + np.int32(r8)) * np.int32(32) \
-                            + np.int32(c)
-                        acc = taps(cha, chb, key, acc)
+                        acc[t] = jnp.where(kb_t[t] == key, cand,
+                                           acc[t])
                 for t in range(4):
                     scr[t][:, sl] = acc[t]
         return scan
 
-    for g in range(5):
+    for g in range(G):
         overlap = (gbase[g] <= rmax) & (gbase[g] + (BR - 1) >= rmin)
-        pl.when(overlap)(make_scan(g))
-    out_ref[...] = _avg_i32(_avg_i32(a0[...], a1[...]),
-                            _avg_i32(a2[...], a3[...]))
+        pl.when(overlap)(make_scan(g, 0, 16))
+        pl.when(overlap & outer_cols)(make_scan(g, 1, 48))
+    out_ref[...] = _avg_i32(_avg_i32(scr[0][...], scr[1][...]),
+                            _avg_i32(scr[2][...], scr[3][...]))
 
 
 @partial(jax.jit, static_argnames=("passes", "frame_h"))
@@ -231,8 +233,9 @@ def dof_blur_auto(fb, zbuf, passes: int = 1, frame_h: int | None = None):
     kern = partial(_blur_kernel, h, w, hp, wp, fstr, fh)
     fb_specs = [
         pl.BlockSpec((BR, wp),
-                     lambda i, g=g: (jnp.clip(i - 2 + g, 0, nblk - 1), 0))
-        for g in range(5)
+                     lambda i, g=g: (jnp.clip(i - G // 2 + g, 0,
+                                              nblk - 1), 0))
+        for g in range(G)
     ]
     call = pl.pallas_call(
         kern,
@@ -250,7 +253,7 @@ def dof_blur_auto(fb, zbuf, passes: int = 1, frame_h: int | None = None):
         for _ in range(passes):
             fi = jax.lax.bitcast_convert_type(f, I32)
             fip = jnp.pad(fi, ((0, hp - h), (0, wp - w)))
-            o = call(zbp, tab, fip, fip, fip, fip, fip)[:h, :w]
+            o = call(zbp, tab, *([fip] * G))[:h, :w]
             f = jnp.where(keep, jax.lax.bitcast_convert_type(o, f.dtype),
                           f)
         return f
@@ -268,5 +271,5 @@ def dof_blur_auto(fb, zbuf, passes: int = 1, frame_h: int | None = None):
             return out.reshape(h, w)
 
     zmax = jnp.max(jnp.abs(zbuf - F32(1.0)))
-    ok = zmax * F32(fstr) < F32(R - 0.5)
+    ok = zmax * F32(fstr) < F32(RR - 0.5)
     return jax.lax.cond(ok, pallas_passes, fallback, fb)

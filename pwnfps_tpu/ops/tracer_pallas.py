@@ -292,12 +292,12 @@ def _compact_fetch(cword_ref, cx, cz, rows, chunks, page=None,
             lo = widx_l & 127
             hi = widx_l >> 7
             base = pmin * chunks
-            tab = cword_ref[...]
-            rsel = jnp.zeros((1, 128), jnp.int32)
             out = jnp.zeros_like(widx_l)
             for c in range(chunks):
-                row = jnp.take_along_axis(tab, rsel + (base + c),
-                                          axis=0)
+                # dynamic sublane ref slice (Mosaic-supported; the
+                # earlier uniform-index take_along_axis over the whole
+                # table hit the gather lowering's shape assert on chip)
+                row = cword_ref[pl.ds(base + c, 1), :]
                 g = jnp.take_along_axis(
                     jnp.broadcast_to(row, widx_l.shape), lo, axis=1)
                 out = jnp.where(hi == c, g, out)
