@@ -4,13 +4,15 @@ The XLA formulation in ops/blur.py pays ~60ms at 1080p for one big
 random gather ([4,h,w] indices into the 2M-pixel frame).  But the tap
 offsets are trunc(r * 0.002*h * (z-1)) with |r| <= 1, so for game-scale
 depth they stay within a few pixels of the source.  This kernel keeps
-G=12 8-row halo groups around each output block in VMEM and resolves
-each tap by scanning the candidate rows with hardware per-lane gathers
+8-row halo groups around each output block in VMEM and resolves each
+tap by scanning the candidate rows with hardware per-lane gathers
 against rolled column windows (see _blur_kernel) — O(rows in the tap
 band) vector ops instead of a random HBM gather.  Groups outside the
-block's tap-row band skip via one pl.when each, and the outer column
-windows (reach 16..48 lanes) fire only for blocks that need them, so
-shallow-depth frames pay exactly the old 2-window near scan.
+block's tap-row band skip via one pl.when each.  Two compiled
+variants, picked per frame by the max tap reach (see G_NEAR/G_WIDE):
+shallow frames pay exactly the 5-group 2-window near scan, deeper
+frames a 12-group scan whose outer column windows fire only for
+blocks that need them.
 
 Exactness: bit-identical to ops/blur.py (same LCG jump tables, same
 float expression order, same truncation/clamp/SWAR-average).  The
@@ -44,9 +46,18 @@ from .blur import _draw_tables, dof_blur
 F32 = jnp.float32
 I32 = jnp.int32
 BR = 8          # output rows per grid step
-G = 12          # 8-row halo groups per block: rows [y0-48, y0+56)
-RR = 48         # tap reach (rows and lanes): exact while
-                # fstr*|z-1| < RR-0.5, the XLA fallback guard
+# Two compiled variants, picked per frame by max tap reach (fstr*zmax):
+#   near: 5 8-row halo groups (rows +-16), one +-16-lane window pair -
+#         reach < 15.5; the default-level 1080p bench path (its max
+#         reach is ~15.03, so the wide structure's 7 extra group DMAs
+#         + gates would cost ~1.9ms/frame for nothing - measured)
+#   wide: 13 groups (rows y0-48 .. y0+55: +-48 from EVERY output row,
+#         the +1 group covering taps from the block's last row), a
+#         second +-48-lane window pair gated per block - reach < 47.5
+#         (33 depth units at 720p, 22 at 1080p; covers the
+#         portal-chain stress scene's 21.5)
+G_NEAR, G_WIDE = 5, 13
+RR = ((G_WIDE - 1) // 2) * BR   # wide tap reach (rows and lanes)
 
 
 def _srl(x, n):
@@ -58,22 +69,23 @@ def _avg_i32(a, b):
     return (a | b) - (_srl(a ^ b, 1) & np.int32(0x7F7F7F7F))
 
 
-def _blur_kernel(h, w, hp, wp, fstr, fh, zb_ref, tab_ref, *refs):
+def _blur_kernel(h, w, hp, wp, fstr, fh, G, pairs, zb_ref, tab_ref,
+                 *refs):
     """One grid step blurs BR output rows.  The candidate source rows
-    [y0-48, y0+56) arrive as G=12 8-row aligned block views (BlockSpec
-    index maps i-6..i+5, clipped at the frame edges), so block fetches
-    stay static.  Each tap is resolved by scanning the fired groups'
-    8 rows with per-lane gathers keyed on (row, window chunk) against
-    rolled column windows of each row:
+    arrive as G 8-row aligned block views (BlockSpec index maps
+    i-G/2..i+G/2-1, clipped at the frame edges), so block fetches stay
+    static.  Each tap is resolved by scanning the fired groups' 8 rows
+    with per-lane gathers keyed on (row, window chunk) against rolled
+    column windows of each row:
 
       window roll r covers source lanes [c*128 - r, c*128 - r + 128)
       of output chunk c.  The inner pair (rolls +16/-16) covers source
       offsets within [-16, 144) of the chunk base — every tap when
-      fstr*|z-1| < 15.5 (the common case; this was the whole kernel's
-      reach before the outer pair existed).  The outer pair (rolls
-      +48/-48) extends coverage to [-48, 176), i.e. per-pixel offsets
-      up to +-48 lanes; it fires only when the block's measured column
-      offsets leave the inner pair's range.  A tap's key carries its
+      fstr*|z-1| < 15.5 (the near kernel's whole reach).  The wide
+      kernel's outer pair (rolls +48/-48) extends coverage to
+      [-48, 176), i.e. per-pixel offsets up to +-48 lanes; it fires
+      only when the block's measured column offsets leave the inner
+      pair's range.  A tap's key carries its
       (row, window-chunk id): a tap outside a window self-excludes
       (its id differs), and a tap covered by two overlapping windows
       resolves to the same source pixel twice (idempotent select).
@@ -127,7 +139,8 @@ def _blur_kernel(h, w, hp, wp, fstr, fh, zb_ref, tab_ref, *refs):
         ty = yf + (ry * F32(fstr)) * z
         txi = jnp.clip(tx.astype(I32), 0, w - 1)
         tyi = jnp.clip(ty.astype(I32), 0, fh - 1) + base
-        for p, roll in ((0, 16), (1, 48)):
+        for p, roll in (((0, 16), (1, 48)) if pairs == 2
+                        else ((0, 16),)):
             la = txi + np.int32(roll)
             la = jnp.where(la >= np.int32(wp), la - np.int32(wp), la)
             lb = txi - np.int32(roll)
@@ -145,11 +158,12 @@ def _blur_kernel(h, w, hp, wp, fstr, fh, zb_ref, tab_ref, *refs):
     # typically), so most of the G halo groups skip entirely
     rmin = jnp.min(jnp.stack(tymins))
     rmax = jnp.max(jnp.stack(tymaxs))
-    # inner window pair covers source offsets [-16, 144) of each
-    # chunk base; blocks whose taps stay inside never run the outer
-    cmin = jnp.min(jnp.stack(cmins))
-    cmax = jnp.max(jnp.stack(cmaxs))
-    outer_cols = (cmin < np.int32(-16)) | (cmax >= np.int32(144))
+    if pairs == 2:
+        # inner window pair covers source offsets [-16, 144) of each
+        # chunk base; blocks whose taps stay inside never run the outer
+        cmin = jnp.min(jnp.stack(cmins))
+        cmax = jnp.max(jnp.stack(cmaxs))
+        outer_cols = (cmin < np.int32(-16)) | (cmax >= np.int32(144))
 
     gbase = [jnp.clip(pid - G // 2 + g, 0, nblk - 1) * np.int32(BR)
              for g in range(G)]
@@ -195,7 +209,8 @@ def _blur_kernel(h, w, hp, wp, fstr, fh, zb_ref, tab_ref, *refs):
     for g in range(G):
         overlap = (gbase[g] <= rmax) & (gbase[g] + (BR - 1) >= rmin)
         pl.when(overlap)(make_scan(g, 0, 16))
-        pl.when(overlap & outer_cols)(make_scan(g, 1, 48))
+        if pairs == 2:
+            pl.when(overlap & outer_cols)(make_scan(g, 1, 48))
     out_ref[...] = _avg_i32(_avg_i32(scr[0][...], scr[1][...]),
                             _avg_i32(scr[2][...], scr[3][...]))
 
@@ -230,36 +245,43 @@ def dof_blur_auto(fb, zbuf, passes: int = 1, frame_h: int | None = None):
     keep = xs[None, :] < 4 * (w // 4)   # last w%4 pixels untouched
 
     nblk = hp // BR
-    kern = partial(_blur_kernel, h, w, hp, wp, fstr, fh)
-    fb_specs = [
-        pl.BlockSpec((BR, wp),
-                     lambda i, g=g: (jnp.clip(i - G // 2 + g, 0,
-                                              nblk - 1), 0))
-        for g in range(G)
-    ]
-    call = pl.pallas_call(
-        kern,
-        grid=(nblk,),
-        in_specs=[
-            pl.BlockSpec((BR, wp), lambda i: (i, 0)),     # zbuf rows
-            pl.BlockSpec((16, wp), lambda i: (0, 0)),     # jump tables
-        ] + fb_specs,                                     # halo row groups
-        out_specs=pl.BlockSpec((BR, wp), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((hp, wp), I32),
-        scratch_shapes=[pltpu.VMEM((BR, wp), jnp.int32)] * 4,
-    )
 
-    def pallas_passes(f):
-        for _ in range(passes):
-            fi = jax.lax.bitcast_convert_type(f, I32)
-            fip = jnp.pad(fi, ((0, hp - h), (0, wp - w)))
-            o = call(zbp, tab, *([fip] * G))[:h, :w]
-            f = jnp.where(keep, jax.lax.bitcast_convert_type(o, f.dtype),
-                          f)
-        return f
+    def build_call(G, pairs):
+        kern = partial(_blur_kernel, h, w, hp, wp, fstr, fh, G, pairs)
+        fb_specs = [
+            pl.BlockSpec((BR, wp),
+                         lambda i, g=g, G=G: (jnp.clip(i - G // 2 + g,
+                                                       0, nblk - 1), 0))
+            for g in range(G)
+        ]
+        call = pl.pallas_call(
+            kern,
+            grid=(nblk,),
+            in_specs=[
+                pl.BlockSpec((BR, wp), lambda i: (i, 0)),   # zbuf rows
+                pl.BlockSpec((16, wp), lambda i: (0, 0)),   # jump tables
+            ] + fb_specs,                                   # halo groups
+            out_specs=pl.BlockSpec((BR, wp), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((hp, wp), I32),
+            scratch_shapes=[pltpu.VMEM((BR, wp), jnp.int32)] * 4,
+        )
 
-    # any tap beyond the halo? fall back to the exact XLA gather path
-    # (vmapped per camera frame when batched)
+        def passes_fn(f):
+            for _ in range(passes):
+                fi = jax.lax.bitcast_convert_type(f, I32)
+                fip = jnp.pad(fi, ((0, hp - h), (0, wp - w)))
+                o = call(zbp, tab, *([fip] * G))[:h, :w]
+                f = jnp.where(keep,
+                              jax.lax.bitcast_convert_type(o, f.dtype),
+                              f)
+            return f
+        return passes_fn
+
+    near_passes = build_call(G_NEAR, 1)
+    wide_passes = build_call(G_WIDE, 2)
+
+    # any tap beyond even the wide halo? fall back to the exact XLA
+    # gather path (vmapped per camera frame when batched)
     if fh == h:
         def fallback(f):
             return dof_blur(f, zbuf, passes)
@@ -271,5 +293,9 @@ def dof_blur_auto(fb, zbuf, passes: int = 1, frame_h: int | None = None):
             return out.reshape(h, w)
 
     zmax = jnp.max(jnp.abs(zbuf - F32(1.0)))
-    ok = zmax * F32(fstr) < F32(RR - 0.5)
-    return jax.lax.cond(ok, pallas_passes, fallback, fb)
+    reach = zmax * F32(fstr)
+    near_ok = reach < F32((G_NEAR // 2) * BR - 0.5)
+    wide_ok = reach < F32(RR - 0.5)
+    return jax.lax.cond(
+        near_ok, near_passes,
+        lambda f: jax.lax.cond(wide_ok, wide_passes, fallback, f), fb)
