@@ -36,6 +36,10 @@ def main() -> int:
     ap.add_argument("--noblur", action="store_true")
     ap.add_argument("--fuse", action="store_true")
     ap.add_argument("--nospheres", action="store_true")
+    ap.add_argument("--spheres", type=int, default=None,
+                    help="keep only the first N creature spheres "
+                         "(sizes the per-sphere hoist slope vs the "
+                         "sphere-count-independent machinery)")
     ap.add_argument("--noskip", action="store_true",
                     help="disable the empty-space run-length skip")
     ap.add_argument("--nopack", action="store_true",
@@ -66,6 +70,8 @@ def main() -> int:
             (-0.3, 0.0, 0.1, 0.03), (0.1, 0.0, -0.3, 0.03),
             (0.3, 0.0, -0.1, 0.03), (-0.1, 0.0, 0.3, 0.03),
             (-0.3, 0.0, -0.1, 0.03), (-0.1, 0.0, -0.3, 0.03)]
+    if args.spheres is not None:
+        opos = opos[:args.spheres]
     pool = ObjectPool()
     for (x, y, z, r) in ([] if args.nospheres else opos):
         i = pool.obj_new()
