@@ -40,6 +40,11 @@ def main() -> int:
                     help="keep only the first N creature spheres "
                          "(sizes the per-sphere hoist slope vs the "
                          "sphere-count-independent machinery)")
+    ap.add_argument("--sphfar", action="store_true",
+                    help="one tiny sphere 50 units underground: the "
+                         "hoist bound gate never fires, isolating the "
+                         "carry/step/cond sphere machinery from the "
+                         "hoist pass itself")
     ap.add_argument("--noskip", action="store_true",
                     help="disable the empty-space run-length skip")
     ap.add_argument("--nopack", action="store_true",
@@ -72,6 +77,8 @@ def main() -> int:
             (-0.3, 0.0, -0.1, 0.03), (-0.1, 0.0, -0.3, 0.03)]
     if args.spheres is not None:
         opos = opos[:args.spheres]
+    if args.sphfar:
+        opos = [(0.0, -50.0, 0.0, 0.01)]
     pool = ObjectPool()
     for (x, y, z, r) in ([] if args.nospheres else opos):
         i = pool.obj_new()
