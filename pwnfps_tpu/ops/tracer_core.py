@@ -423,29 +423,54 @@ def make_sphere_all(n_spheres: int, get_sphere, math: Math,
     def run(s: SegState, mask, merge=False):
         bc, br = get_bound()
         zero = jnp.zeros_like(s.pos.x)
+        # brq2: the bound tests below compare the line's perpendicular
+        # distance^2 against br^2 with an absolute slack that keeps
+        # them SOUND supersets of the per-sphere `upd` registration:
+        #  - upd evaluates the reference's calcrad2 = dist2 - dot^2 at
+        #    the AABB entry, which differs from the true line
+        #    distance^2 by (|ray|^2-1)*par(te)^2; |ray| is unit only
+        #    up to the rsqrt-table normalization (and the |comp|>=eps
+        #    clamp), and par(te)^2 <= ~6 in a 1-high world, so the
+        #    slack is ~1e-2 at |ray|^2 within 2e-3 of 1;
+        #  - the homogeneous compares themselves round at the
+        #    d2*l-scale (~8 ulps of 2*90^2 ~ 1.6e-2 worst case).
+        # Without it, a tile whose live lanes all normalized to
+        # |ray|<1 could be gated out while aimed dead-on at a distant
+        # sphere (the old t=0 form d2-dt3^2<br^2 erred by
+        # (1-|ray|^2)*d2 - unbounded in distance).
+        brq2 = br * br + F32(0.04)
         # Per-lane relevance bit (sph_dirty bit 1): XZ-PROJECTED line
         # vs the bounding circle - a superset of any 3D line-sphere hit
         # (projection shrinks distances) that is INVARIANT under the
         # y-shift/ramp line changes, so lanes with it clear never need
-        # re-derivation after those events (segment_body).
+        # re-derivation after those events (segment_body).  The
+        # homogeneous form (d2xz - brq2)*l2 < dtxz^2 is the exact
+        # line-circle test for ANY ray scale (both sides quadratic in
+        # ray_xz), so it needs no unit-ray assumption.
         rx = bc.x + zero - s.pos.x
         rz = bc.z + zero - s.pos.z
         d2xz = rx * rx + rz * rz
         dtxz = rx * s.ray.x + rz * s.ray.z
         l2 = s.ray.x * s.ray.x + s.ray.z * s.ray.z
-        rel = (d2xz - br * br) * l2 < dtxz * dtxz
+        rel = (d2xz - brq2) * l2 < dtxz * dtxz
         if sphere_page is not None:
             rel = rel & (s.page == sphere_page)
         rel_bit = jnp.where(rel, 2, 0).astype(s.sph_dirty.dtype)
         # Whole-tile hoist gate: the DIRECTED 3D test - the undirected
         # XZ form fires on a third of the screen (no y or heading
         # constraint) and would run the full pass almost everywhere.
+        # Same homogeneous scale-free forms as rel: the 3D line test
+        # is (d2 - brq2)*l3 < dt3^2, and the heading test dot > -br
+        # becomes (dt3 > 0) | (dt3^2 < brq2*l3) == dt3 > -brq*|ray|
+        # (any candidate sphere has dot_i > 0 at its AABB entry, and
+        # |dot_i - dt3| <= |c_i - bc|*|ray| < br*|ray|).
         ry_ = bc.y + zero - s.pos.y
         d2 = d2xz + ry_ * ry_
         dt3 = dtxz + ry_ * s.ray.y
-        # any candidate sphere has dot_i > 0 at its AABB entry, and
-        # |dot_i - dt3| <= |c_i - bc| < br, so dt3 > -br is sound
-        quick = rel & (dt3 > -br) & (d2 - dt3 * dt3 < br * br)
+        l3 = l2 + s.ray.y * s.ray.y
+        dt3sq = dt3 * dt3
+        quick = (rel & ((dt3 > 0.0) | (dt3sq < brq2 * l3))
+                 & ((d2 - brq2) * l3 < dt3sq))
         anyq = jnp.max(jnp.where(mask & (s.active != 0) & quick,
                                  1, 0)) > 0
         return jax.lax.cond(
@@ -474,12 +499,13 @@ def make_sphere_rel(get_bound, sphere_page=None):
     def rel(px, pz, vx, vz, page=None):
         bc, br = get_bound()
         zero = jnp.zeros_like(px)
+        brq2 = br * br + F32(0.04)   # same slack as run's rel bit
         rx = bc.x + zero - px
         rz = bc.z + zero - pz
         d2xz = rx * rx + rz * rz
         dtxz = rx * vx + rz * vz
         l2 = vx * vx + vz * vz
-        r = (d2xz - br * br) * l2 < dtxz * dtxz
+        r = (d2xz - brq2) * l2 < dtxz * dtxz
         if sphere_page is not None:
             r = r & (page == sphere_page)
         return r

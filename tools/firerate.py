@@ -60,15 +60,18 @@ def gates(s):
     # the refresh's nested bound gate (make_sphere_all.run: anyq):
     # the 900-plane run_full body only executes on tile-steps where
     # some DIRTY lane's directed 3D line hits the scene bound sphere
+    brq2 = _br * _br + np.float32(0.04)
     rx = _bc[0] - s.pos.x; rz = _bc[2] - s.pos.z
     d2xz = rx * rx + rz * rz
     dtxz = rx * s.ray.x + rz * s.ray.z
     l2 = s.ray.x * s.ray.x + s.ray.z * s.ray.z
-    rel = (d2xz - _br * _br) * l2 < dtxz * dtxz
+    rel = (d2xz - brq2) * l2 < dtxz * dtxz
     ry_ = _bc[1] - s.pos.y
     d2 = d2xz + ry_ * ry_
     dt3 = dtxz + ry_ * s.ray.y
-    quick = rel & (dt3 > -_br) & (d2 - dt3 * dt3 < _br * _br)
+    l3 = l2 + s.ray.y * s.ray.y
+    quick = (rel & ((dt3 > 0) | (dt3 * dt3 < brq2 * l3))
+             & ((d2 - brq2) * l3 < dt3 * dt3))
     anyq = dirty & quick
     def tile_any(m):
         m2 = m.reshape(h//64, 64, w//128, 128)
