@@ -438,6 +438,9 @@ def make_sphere_all(n_spheres: int, get_sphere, math: Math,
         # |ray|<1 could be gated out while aimed dead-on at a distant
         # sphere (the old t=0 form d2-dt3^2<br^2 erred by
         # (1-|ray|^2)*d2 - unbounded in distance).
+        # The 0.04 is sized for game-scale scenes only; worlddev
+        # _check_sphere_envelope rejects scenes outside that envelope
+        # at build time so the bound can never silently under-gate.
         brq2 = br * br + F32(0.04)
         # Per-lane relevance bit (sph_dirty bit 1): XZ-PROJECTED line
         # vs the bounding circle - a superset of any 3D line-sphere hit

@@ -220,11 +220,41 @@ def _clearance_frame(static_word: np.ndarray) -> np.ndarray:
     return base
 
 
+def _check_sphere_envelope(spheres: SphereSet) -> None:
+    """Loud guard for the fast path's bound-sphere slack.
+
+    The hoist gate's brq2 = br*br + 0.04 slack (tracer_core
+    make_sphere_all/make_sphere_rel) is an ABSOLUTE constant sized for
+    game-scale scenes: sphere centres inside the 64x64 grid's unit-high
+    band and radii <= 2, giving compare-rounding ~1.6e-2 + projection
+    error ~1.2e-2 < 0.04.  A scene outside that envelope could silently
+    under-gate the hoist (dropping real sphere hits with no test
+    tripping - round-3 advisor finding), so reject it here, at world
+    build, where the coordinates are concrete numpy."""
+    live = np.asarray(spheres.r, np.float32) > 0
+    if not live.any():
+        return
+    pos = np.asarray(spheres.pos, np.float32)[live]
+    r = np.asarray(spheres.r, np.float32)[live]
+    ok = ((pos[:, 0] >= -1) & (pos[:, 0] <= 65)
+          & (pos[:, 2] >= -1) & (pos[:, 2] <= 65)
+          & (pos[:, 1] >= -2) & (pos[:, 1] <= 3) & (r <= 2.0))
+    if not ok.all():
+        bad = int(np.nonzero(~ok)[0][0])
+        raise ValueError(
+            f"sphere {bad} (pos={pos[bad]}, r={r[bad]}) is outside the "
+            "envelope the hoist gate's 0.04 bound-sphere slack was "
+            "derived for (centres in [-1,65]x[-2,3]x[-1,65], r <= 2); "
+            "re-derive brq2 in tracer_core.make_sphere_all before "
+            "tracing this scene in fast mode")
+
+
 def build_world(level: LevelData, spheres: SphereSet, tables: SseTables,
                 static_word: np.ndarray | None = None
                 ) -> tuple[WorldDev, WorldMeta]:
     if static_word is None:
         static_word = pack_static_word(level)
+    _check_sphere_envelope(spheres)
     counts = spheres.counts.reshape(-1).astype(np.int32)
     k_needed = int(counts.max()) if counts.size else 0
     runs = _clearance_frame(static_word).reshape(-1)
@@ -363,6 +393,7 @@ def build_world_paged(static_words: np.ndarray, spheres: SphereSet,
     page-local SphereSet whose buckets live on `sphere_page`."""
     P = static_words.shape[0]
     assert 1 <= P <= 16, P
+    _check_sphere_envelope(spheres)
     words = static_words.astype(np.int32).reshape(P, 4096).copy()
     counts = spheres.counts.reshape(-1).astype(np.int32)
     k_needed = int(counts.max()) if counts.size else 0

@@ -6,6 +6,16 @@ script's global `on_tick(sec, dt)` every frame (main.c:127-140, fatal if
 missing or failing).  Here the same contract binds to the object pool +
 level; frontends: native Python scripts (this module) and Lua scripts
 via the bundled mini-Lua interpreter (pwnfps_tpu.script.luamini).
+
+NOTE for Lua script authors: luamini is a deliberate Lua 5.1 SUBSET
+(the reference links the full liblua, script.h:75-77).  Supported:
+functions/closures, tables, control flow, arithmetic/relational/
+logical ops, a method-free stdlib subset (math.*, string.format/len/
+sub, table.insert/remove, print, tostring, tonumber, type).  NOT
+supported: metatables, coroutines, goto/labels, io.*/os.*, and
+':'-method call sugar.  The reference's game.lua runs verbatim
+(tests/test_luamini.py); scripts needing the excluded constructs
+belong in the Python frontend (assets/scripts/game.py is the twin).
 """
 
 from __future__ import annotations
