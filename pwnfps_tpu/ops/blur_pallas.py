@@ -69,8 +69,8 @@ def _avg_i32(a, b):
     return (a | b) - (_srl(a ^ b, 1) & np.int32(0x7F7F7F7F))
 
 
-def _blur_kernel(h, w, hp, wp, fstr, fh, G, pairs, zb_ref, tab_ref,
-                 *refs):
+def _blur_kernel(h, w, hp, wp, fstr, fh, G, pairs, hofs, nloc, zb_ref,
+                 tab_ref, *refs):
     """One grid step blurs BR output rows.  The candidate source rows
     arrive as G 8-row aligned block views (BlockSpec index maps
     i-G/2..i+G/2-1, clipped at the frame edges), so block fetches stay
@@ -94,20 +94,44 @@ def _blur_kernel(h, w, hp, wp, fstr, fh, G, pairs, zb_ref, tab_ref,
     the whole width (tap accumulators live in VMEM scratch): an
     earlier shape — a lax.cond per (group, lane-chunk), 5 x wp/128
     scalar branches per block — spent more time branch-serializing
-    than gathering (10k branches per 1080p frame, measured ~2ms)."""
+    than gathering (10k branches per 1080p frame, measured ~2ms).
+
+    Band mode (hofs is not None): the inputs are per-camera ROW BANDS
+    stacked vertically — fb arrives as [cl*(nloc+2*hofs), wp] padded
+    bands (hofs halo rows above and below each camera's nloc own
+    rows), zbuf/out as [cl*nloc, wp], and refs is prefixed by an SMEM
+    (1,1) scalar: the camera-local row index of the band's first own
+    row (the same for every stacked camera).  Seeds, tap clamps and
+    group row labels all use camera-local rows, so the output is
+    bit-identical to the same rows of the full-frame kernel; halo rows
+    outside the frame are never tapped (tap rows clamp to [0, fh-1])
+    so their zero-fill content is irrelevant."""
+    band = hofs is not None
+    if band:
+        y0_ref = refs[0]
+        refs = refs[1:]
     grps = refs[:G]
     out_ref = refs[G]
     scr = refs[G + 1:G + 5]
     nc = wp // 128
-    nblk = hp // BR
     pid = pl.program_id(0)
-    y0 = pid * BR
-    # fh < h stacks multiple camera frames vertically (fh | BR, so a
-    # block never spans two cameras): row seeds and tap-row clamps use
-    # the camera-local band, exactly as per-frame blurs would
-    base = (y0 // np.int32(fh)) * np.int32(fh)
-    ys = y0 + jax.lax.broadcasted_iota(I32, (BR, wp), 0)
-    yl = ys - base
+    if band:
+        nblk_loc = nloc // BR
+        npadblk = nblk_loc + 2 * (hofs // BR)
+        blo = pid % np.int32(nblk_loc)     # block within this camera
+        y0c = y0_ref[0, 0]                 # band start (camera-local)
+        y0 = y0c + blo * np.int32(BR)      # block start (camera-local)
+        base = np.int32(0)
+        yl = y0 + jax.lax.broadcasted_iota(I32, (BR, wp), 0)
+    else:
+        nblk = hp // BR
+        y0 = pid * BR
+        # fh < h stacks multiple camera frames vertically (fh | BR, so
+        # a block never spans two cameras): row seeds and tap-row
+        # clamps use the camera-local band, as per-frame blurs would
+        base = (y0 // np.int32(fh)) * np.int32(fh)
+        ys = y0 + jax.lax.broadcasted_iota(I32, (BR, wp), 0)
+        yl = ys - base
     xs = jax.lax.broadcasted_iota(I32, (BR, wp), 1)
     # row LCG base state: blur_row_seed + one randi (screen.h:82,100)
     s0 = yl * yl + np.int32(415135)
@@ -165,8 +189,17 @@ def _blur_kernel(h, w, hp, wp, fstr, fh, G, pairs, zb_ref, tab_ref,
         cmax = jnp.max(jnp.stack(cmaxs))
         outer_cols = (cmin < np.int32(-16)) | (cmax >= np.int32(144))
 
-    gbase = [jnp.clip(pid - G // 2 + g, 0, nblk - 1) * np.int32(BR)
-             for g in range(G)]
+    if band:
+        # camera-local row label of each fetched halo group (must
+        # match the fetch index map in dof_blur_band_pallas; edge
+        # clipping duplicates boundary groups — same key, idempotent)
+        hb8 = hofs // BR
+        gbase = [(jnp.clip(blo + hb8 - G // 2 + g, 0, npadblk - 1)
+                  - np.int32(hb8)) * np.int32(BR) + y0c
+                 for g in range(G)]
+    else:
+        gbase = [jnp.clip(pid - G // 2 + g, 0, nblk - 1) * np.int32(BR)
+                 for g in range(G)]
     for t in range(4):
         scr[t][...] = jnp.zeros((BR, wp), I32)
 
@@ -215,6 +248,91 @@ def _blur_kernel(h, w, hp, wp, fstr, fh, G, pairs, zb_ref, tab_ref,
                             _avg_i32(scr[2][...], scr[3][...]))
 
 
+def _tap_tables(w: int, wp: int):
+    """LCG jump tables as one [16, wp] i32 array (kernel input)."""
+    (akx, ckx), (aky, cky) = _draw_tables(w)
+
+    def pack(t):  # [w,4] uint32 -> 4 rows of [wp] int32
+        t = t.astype(np.int32)
+        return np.pad(t, ((0, wp - w), (0, 0))).T
+
+    return jnp.asarray(np.concatenate(
+        [pack(akx), pack(ckx), pack(aky), pack(cky)], axis=0))
+
+
+@partial(jax.jit, static_argnames=("fh", "wide"))
+def dof_blur_band_pallas(fb_pad, zb, y0, fh: int, wide: bool):
+    """Band DoF blur, Pallas halo kernel — ONE pass.
+
+    The multi-chip blur body (parallel.sharding._dof_blur_mesh): each
+    device blurs only the frame rows it owns, reading neighbour rows
+    from an exchanged halo instead of a replicated frame — the sharded
+    analogue of the reference blurring scanline rows across OpenMP
+    threads (screen.h:77-78).
+
+    fb_pad: [cl, hb+2H, w] uint32 — per-camera row bands with H halo
+    rows above and below (H, hb multiples of 8).  The caller
+    guarantees the frame's tap reach fits: reach < 47.5 <= H, or the
+    halo spans the whole frame.  zb: [cl, hb, w] f32 (own rows only).
+    y0: scalar i32, camera-local row index of the band's first own
+    row.  fh: the camera frame height.  wide: static near/wide
+    variant choice — the caller's global reach decision, same bounds
+    as dof_blur_auto.
+
+    Returns [cl, hb, w] uint32, bit-identical to rows [y0, y0+hb) of
+    dof_blur_auto / blur.dof_blur on the full frame."""
+    cl, hbH, w = fb_pad.shape
+    hb = zb.shape[1]
+    H = (hbH - hb) // 2
+    if hb % BR or H % BR:
+        raise ValueError(f"band rows ({hb}) and halo ({H}) must be "
+                         f"multiples of {BR}")
+    G, pairs = (G_WIDE, 2) if wide else (G_NEAR, 1)
+    wp = -(-w // 128) * 128
+    fstr = float(np.float32(0.002) * np.float32(float(fh)))
+    tab = _tap_tables(w, wp)
+    fbs = jax.lax.bitcast_convert_type(fb_pad, I32).reshape(cl * hbH, w)
+    fbs = jnp.pad(fbs, ((0, 0), (0, wp - w)))
+    zbs = jnp.pad(zb.reshape(cl * hb, w), ((0, 0), (0, wp - w)),
+                  constant_values=1.0)
+    y0a = jnp.asarray(y0, I32).reshape(1, 1)
+    nblk_loc = hb // BR
+    npadblk = hbH // BR
+    hb8 = H // BR
+    kern = partial(_blur_kernel, 0, w, 0, wp, fstr, fh, G, pairs, H, hb)
+    # group g of local block b fetches this camera's padded block
+    # b + H/8 - G/2 + g (clipped to the camera's own padded region);
+    # must mirror the gbase labels in _blur_kernel's band branch
+    fb_specs = [
+        pl.BlockSpec(
+            (BR, wp),
+            lambda i, g=g: ((i // nblk_loc) * npadblk
+                            + jnp.clip(i % nblk_loc + hb8 - G // 2 + g,
+                                       0, npadblk - 1), 0))
+        for g in range(G)
+    ]
+    call = pl.pallas_call(
+        kern,
+        grid=(cl * nblk_loc,),
+        in_specs=[
+            pl.BlockSpec((BR, wp), lambda i: (i, 0)),   # zbuf rows
+            pl.BlockSpec((16, wp), lambda i: (0, 0)),   # jump tables
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),      # band row0
+        ] + fb_specs,
+        out_specs=pl.BlockSpec((BR, wp), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((cl * hb, wp), I32),
+        scratch_shapes=[pltpu.VMEM((BR, wp), jnp.int32)] * 4,
+    )
+    o = call(zbs, tab, y0a, *([fbs] * G))[:, :w]
+    xs = jnp.arange(w, dtype=jnp.int32)
+    keep = xs[None, :] < 4 * (w // 4)   # last w%4 pixels untouched
+    ctr = fb_pad[:, H:H + hb, :].reshape(cl * hb, w)
+    o = jnp.where(keep, jax.lax.bitcast_convert_type(o, jnp.uint32),
+                  ctr)
+    return o.reshape(cl, hb, w)
+
+
 @partial(jax.jit, static_argnames=("passes", "frame_h"))
 def dof_blur_auto(fb, zbuf, passes: int = 1, frame_h: int | None = None):
     """Exact DoF blur, Pallas halo kernel when depth permits.
@@ -231,14 +349,7 @@ def dof_blur_auto(fb, zbuf, passes: int = 1, frame_h: int | None = None):
     hp = -(-h // BR) * BR
     wp = -(-w // 128) * 128
     fstr = float(np.float32(0.002) * np.float32(float(fh)))
-    (akx, ckx), (aky, cky) = _draw_tables(w)
-
-    def pack(t):  # [w,4] uint32 -> 4 rows of [wp] int32
-        t = t.astype(np.int32)
-        return np.pad(t, ((0, wp - w), (0, 0))).T
-
-    tab = jnp.asarray(np.concatenate(
-        [pack(akx), pack(ckx), pack(aky), pack(cky)], axis=0))  # [16,wp]
+    tab = _tap_tables(w, wp)
 
     zbp = jnp.pad(zbuf, ((0, hp - h), (0, wp - w)), constant_values=1.0)
     xs = jnp.arange(w, dtype=jnp.int32)
@@ -247,7 +358,8 @@ def dof_blur_auto(fb, zbuf, passes: int = 1, frame_h: int | None = None):
     nblk = hp // BR
 
     def build_call(G, pairs):
-        kern = partial(_blur_kernel, h, w, hp, wp, fstr, fh, G, pairs)
+        kern = partial(_blur_kernel, h, w, hp, wp, fstr, fh, G, pairs,
+                       None, None)
         fb_specs = [
             pl.BlockSpec((BR, wp),
                          lambda i, g=g, G=G: (jnp.clip(i - G // 2 + g,

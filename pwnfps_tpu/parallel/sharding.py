@@ -196,6 +196,111 @@ def _render_cams_jit(world, meta: W.WorldMeta, cfg: RenderConfig,
     return fb, zbuf
 
 
+def _dof_blur_mesh(fb, zbuf, cfg: RenderConfig, mesh: Mesh,
+                   cam_axes: tuple, row_axes: tuple):
+    """Row-band sharded DoF blur (round-3 VERDICT #5).
+
+    Each device blurs only the frame rows it already owns after a
+    halo exchange over ICI (ppermute of <= 48 rows per direction —
+    the Pallas halo kernel's static tap reach, blur_pallas.G_WIDE),
+    instead of replicating the frame per camera.  This is the sharded
+    analogue of the reference blurring scanline rows across OpenMP
+    threads (screen.h:77-78): the whole frame scales over the mesh,
+    not just the trace.  Frames beyond even the wide kernel's reach
+    fall back to the replicated XLA gather, exactly like
+    dof_blur_auto's own fallback branch.
+
+    fb, zbuf: [C, h, w] global arrays.  cam_axes/row_axes: mesh axes
+    sharding the camera dim and the row dim (row_axes may name every
+    mesh axis for a single-camera frame).  Returns blurred fb with
+    rows still band-sharded over row_axes — NOT replicated.
+    Bit-identical to per-camera blur.dof_blur for every input."""
+    from ..ops.blur import dof_blur, dof_blur_band
+    from ..ops.blur_pallas import BR, G_NEAR, RR
+
+    C, h, w = fb.shape
+    passes = cfg.postproc_blur
+    nrow = 1
+    for a in row_axes:
+        nrow *= mesh.shape[a]
+    hp2 = -(-h // (BR * nrow)) * (BR * nrow)
+    hb = hp2 // nrow
+    # halo: K full-band hops cover >= 48 rows (or the whole frame)
+    K = 0 if nrow == 1 else min(-(-48 // hb), nrow - 1)
+    H = min(48, K * hb)
+    cam_spec = cam_axes[0] if cam_axes else None
+    row_spec = row_axes if len(row_axes) > 1 else row_axes[0]
+    spec = P(cam_spec, row_spec, None)
+    row_ax = row_axes if len(row_axes) > 1 else row_axes[0]
+    use_pallas = cfg.backend == "pallas"
+    fstr = float(np.float32(0.002) * np.float32(float(h)))
+    reach = jnp.max(jnp.abs(zbuf - jnp.float32(1.0))) * jnp.float32(fstr)
+    near_ok = reach < jnp.float32((G_NEAR // 2) * BR - 0.5)
+    wide_ok = reach < jnp.float32(RR - 0.5)
+
+    def exchange(x):
+        """[cl, hb, w] own rows -> [cl, hb+2H, w] with neighbour halos
+        (zero-filled past the frame edges — never tapped there)."""
+        if K == 0:
+            return x
+        parts = []
+        for k in range(K, 0, -1):    # from row-shard d-k (above)
+            parts.append(jax.lax.ppermute(
+                x, row_ax, [(i, i + k) for i in range(nrow - k)]))
+        parts.append(x)
+        for k in range(1, K + 1):    # from row-shard d+k (below)
+            parts.append(jax.lax.ppermute(
+                x, row_ax, [(i + k, i) for i in range(nrow - k)]))
+        buf = jnp.concatenate(parts, axis=1)
+        return buf[:, K * hb - H:K * hb + hb + H]
+
+    def make_local(wide):
+        def local(f_l, zb_l):
+            idx = jnp.int32(0)
+            for a in row_axes:
+                idx = idx * mesh.shape[a] + jax.lax.axis_index(a)
+            y0 = idx * hb
+            for _ in range(passes):
+                fp = exchange(f_l)
+                if use_pallas:
+                    from ..ops.blur_pallas import dof_blur_band_pallas
+                    f_l = dof_blur_band_pallas(fp, zb_l, y0, h, wide)
+                else:
+                    f_l = jax.vmap(
+                        lambda a, b: dof_blur_band(a, b, y0, h))(fp,
+                                                                 zb_l)
+            return f_l
+        return local
+
+    def sharded(wide):
+        def run(f):
+            fp = jnp.pad(f, ((0, 0), (0, hp2 - h), (0, 0)))
+            zp = jnp.pad(zbuf, ((0, 0), (0, hp2 - h), (0, 0)),
+                         constant_values=1.0)
+            out = jax.shard_map(make_local(wide), mesh=mesh,
+                                in_specs=(spec, spec),
+                                out_specs=spec)(fp, zp)
+            return out[:, :h]
+        return run
+
+    def fallback(f):
+        # beyond the wide kernel's reach: per-camera replication + the
+        # exact XLA gather (what dof_blur_auto's fallback branch does)
+        sh_cam = NamedSharding(mesh, P(cam_spec))
+        f = jax.lax.with_sharding_constraint(f, sh_cam)
+        zz = jax.lax.with_sharding_constraint(zbuf, sh_cam)
+        f = jax.vmap(lambda a, b: dof_blur(a, b, passes))(f, zz)
+        return jax.lax.with_sharding_constraint(
+            f, NamedSharding(mesh, spec))
+
+    if use_pallas:
+        return jax.lax.cond(
+            near_ok, sharded(False),
+            lambda f: jax.lax.cond(wide_ok, sharded(True), fallback, f),
+            fb)
+    return jax.lax.cond(wide_ok, sharded(True), fallback, fb)
+
+
 @partial(jax.jit, static_argnames=("meta", "cfg", "mesh"))
 def _render_cams_mesh_jit(world, meta: W.WorldMeta, cfg: RenderConfig,
                           mesh: Mesh, cams, seeds, sec):
@@ -261,15 +366,10 @@ def _render_cams_mesh_jit(world, meta: W.WorldMeta, cfg: RenderConfig,
 
     fb, zbuf = ut(fbf), ut(zbf)
     if cfg.postproc_blur:
-        # per-camera DoF: taps gather arbitrary rows of the SAME
-        # camera's frame, so reassemble each frame on its cam group
-        # (XLA all-gathers over px) and blur cam-parallel
-        sh_cam = NamedSharding(mesh, P("cam"))
-        fb = jax.lax.with_sharding_constraint(fb, sh_cam)
-        zbuf = jax.lax.with_sharding_constraint(zbuf, sh_cam)
-        from ..ops.blur import dof_blur
-        fb = jax.vmap(lambda a, b: dof_blur(a, b, cfg.postproc_blur))(
-            fb, zbuf)
+        # row-band sharded DoF per camera: each (cam, px) device blurs
+        # its own rows after a +-48-row halo ppermute over px — no
+        # full-frame replication (see _dof_blur_mesh)
+        fb = _dof_blur_mesh(fb, zbuf, cfg, mesh, ("cam",), ("px",))
     return fb, zbuf
 
 
@@ -319,13 +419,11 @@ def _render_frame_mesh_jit(world, meta: W.WorldMeta, cfg: RenderConfig,
 
     fb, zbuf = ut(fbf), ut(zbf)
     if cfg.postproc_blur:
-        # full-frame gather: replicate, blur once (documented: the DoF
-        # pass does not scale over px; it is ~20% of the frame)
-        rep = NamedSharding(mesh, P())
-        fb = jax.lax.with_sharding_constraint(fb, rep)
-        zbuf = jax.lax.with_sharding_constraint(zbuf, rep)
-        from ..ops.blur import dof_blur
-        fb = dof_blur(fb, zbuf, cfg.postproc_blur)
+        # row-band sharded DoF over EVERY device of the mesh: the one
+        # frame's rows split across (cam, px) jointly, halo-exchanged
+        # — the blur scales with the trace (see _dof_blur_mesh)
+        fb = _dof_blur_mesh(fb[None], zbuf[None], cfg, mesh, (),
+                            tuple(mesh.axis_names))[0]
     return fb, zbuf
 
 
