@@ -10,12 +10,19 @@ via the bundled mini-Lua interpreter (pwnfps_tpu.script.luamini).
 NOTE for Lua script authors: luamini is a deliberate Lua 5.1 SUBSET
 (the reference links the full liblua, script.h:75-77).  Supported:
 functions/closures, tables, control flow, arithmetic/relational/
-logical ops, a method-free stdlib subset (math.*, string.format/len/
-sub, table.insert/remove, print, tostring, tonumber, type).  NOT
-supported: metatables, coroutines, goto/labels, io.*/os.*, and
-':'-method call sugar.  The reference's game.lua runs verbatim
-(tests/test_luamini.py); scripts needing the excluded constructs
-belong in the Python frontend (assets/scripts/game.py is the twin).
+logical ops, metatables with the 5.1 core metamethods (__index/
+__newindex chains, __call, __tostring, __eq/__lt/__le, arithmetic/
+__concat/__unm, __metatable protection), ':'-method calls and
+`function t:m()` definition sugar, string methods via ':' (s:sub(..)),
+and a stdlib subset (math.*, string.format/len/sub/rep/upper/lower/
+byte/char, table.insert/remove/concat, print, tostring, tonumber,
+type, pairs/ipairs, pcall/error/assert, unpack, select, rawget/
+rawset/rawequal, set/getmetatable).  NOT supported: coroutines,
+goto/labels, io.*/os.*, loadstring/require, string pattern matching
+(find/match/gsub), weak tables.  The reference's game.lua runs
+verbatim (tests/test_luamini.py); scripts needing the excluded
+constructs belong in the Python frontend (assets/scripts/game.py is
+the twin).
 """
 
 from __future__ import annotations

@@ -7,11 +7,18 @@ Lua 5.1: numbers (doubles), strings, booleans, nil, tables (constructors,
 indexing, '#' length), functions and closures, multiple assignment with
 call expansion, local scoping, if/elseif/while/repeat/numeric-for/
 generic-for (pairs/ipairs), operators (arith, %, ^, comparison, and/or/
-not, ..), method-free stdlib subset (math.*, string.format/len/sub,
-table.insert/remove, print, tostring, tonumber, type).
+not, ..), stdlib subset (math.*, string.format/len/sub/rep/upper/lower/
+byte/char, table.insert/remove/concat, print, tostring, tonumber, type,
+pairs/ipairs, pcall, error, assert, unpack, select, raw*), metatables
+(set/getmetatable with the 5.1 core metamethods: __index/__newindex
+chains, __call, __tostring, __eq/__lt/__le, __add/__sub/__mul/__div/
+__mod/__pow/__unm/__concat, __metatable protection), ':'-method calls
+and `function t:m()` definition sugar, and string methods via ':'
+(strings index the string library, as stock 5.1's string metatable).
 
-Deliberately out of scope (documented): metatables, coroutines,
-goto/labels, varargs beyond '...' in toplevel, string methods via ':'.
+Deliberately out of scope (documented): coroutines, goto/labels,
+io/os/loadstring/require, string.find/match/gsub (pattern matching),
+__len on tables (5.1 honours it only for userdata), weak tables/__gc.
 Scripts needing those belong in the Python scripting frontend.
 """
 
@@ -175,8 +182,11 @@ class Parser:
             return self.for_stmt()
         if t == "function":
             self.next()
-            target = self.funcname()
-            return ("assignfunc", target, self.funcbody())
+            target, ismethod = self.funcname()
+            fb = self.funcbody()
+            if ismethod:
+                fb = ("function", ["self"] + fb[1], fb[2], fb[3])
+            return ("assignfunc", target, fb)
         if t == "return":
             self.next()
             exprs = []
@@ -204,10 +214,15 @@ class Parser:
         return ("exprstat", e)
 
     def funcname(self):
+        """-> (target expr, ismethod): `function a.b:c()` assigns to
+        a.b.c with an implicit leading `self` parameter (Lua 5.1
+        method-definition sugar)."""
         e = ("name", self.expect("name")[1])
         while self.accept("."):
             e = ("index", e, ("const", self.expect("name")[1]))
-        return e
+        if self.accept(":"):
+            return ("index", e, ("const", self.expect("name")[1])), True
+        return e, False
 
     def if_stmt(self):
         self.expect("if")
@@ -393,10 +408,11 @@ class Parser:
 
 # ------------------------------------------------------------- runtime
 class LuaTable:
-    __slots__ = ("hash",)
+    __slots__ = ("hash", "mt")
 
     def __init__(self):
         self.hash = {}
+        self.mt = None      # metatable (LuaTable) or None
 
     def get(self, k):
         if isinstance(k, float) and k.is_integer():
@@ -519,8 +535,41 @@ def _stdlib():
         "assert": _lua_assert,
         "pcall": None,  # installed by Interp (needs evaluator)
         "unpack": _unpack,
+        "rawget": _rawget,
+        "rawset": _rawset,
+        "rawequal": lambda a, b: (a is b) or _lua_eq(a, b)
+        if not (isinstance(a, LuaTable) and isinstance(b, LuaTable))
+        else a is b,
+        "select": _select,
+        # setmetatable/getmetatable/tostring/print are installed by
+        # Interp (they need the evaluator for metamethod dispatch)
     }
     return g
+
+
+def _rawget(t, k):
+    if not isinstance(t, LuaTable):
+        raise LuaError("bad argument #1 to 'rawget' (table expected)")
+    return t.get(k)
+
+
+def _rawset(t, k, v):
+    if not isinstance(t, LuaTable):
+        raise LuaError("bad argument #1 to 'rawset' (table expected)")
+    t.set(k, v)
+    return t
+
+
+def _select(n, *args):
+    if n == "#":
+        return float(len(args))
+    i = int(n)
+    if i < 0:
+        i += len(args) + 1
+    if i < 1:
+        raise LuaError("bad argument #1 to 'select' (index out of "
+                       "range)")
+    return tuple(args[i - 1:])
 
 
 import random as _random_mod  # noqa: E402
@@ -680,8 +729,104 @@ class Interp:
     def __init__(self, bindings: dict | None = None):
         self.g = _stdlib()
         self.g["pcall"] = self._pcall
+        self.g["setmetatable"] = self._setmetatable
+        self.g["getmetatable"] = self._getmetatable
+        self.g["tostring"] = self._tostring
+        self.g["print"] = lambda *a: print(
+            "\t".join(self._tostring(x) for x in a))
+        self._strlib = self.g["string"]   # Lua 5.1 string metatable:
+        # every string indexes into the string library (s:sub(...))
         if bindings:
             self.g.update(bindings)
+
+    # -- metatables (Lua 5.1 subset: __index, __newindex, __call,
+    # __tostring, __eq, and the binary arithmetic/compare/concat
+    # metamethods; no __len on tables, __gc, __mode or coroutines -
+    # matching the 5.1 core semantics game scripts use) --------------
+    def _setmetatable(self, t, mt):
+        if not isinstance(t, LuaTable):
+            raise LuaError("bad argument #1 to 'setmetatable' "
+                           "(table expected)")
+        if mt is not None and not isinstance(mt, LuaTable):
+            raise LuaError("bad argument #2 to 'setmetatable' "
+                           "(nil or table expected)")
+        if t.mt is not None and t.mt.get("__metatable") is not None:
+            raise LuaError("cannot change a protected metatable")
+        t.mt = mt
+        return t
+
+    def _getmetatable(self, t):
+        if isinstance(t, str):
+            return self._strlib
+        if not isinstance(t, LuaTable) or t.mt is None:
+            return None
+        prot = t.mt.get("__metatable")
+        return prot if prot is not None else t.mt
+
+    def _tostring(self, v):
+        if isinstance(v, LuaTable) and v.mt is not None:
+            h = v.mt.get("__tostring")
+            if h is not None:
+                r = self._call(h, [v])
+                return r[0] if isinstance(r, tuple) else r
+        return lua_tostring(v)
+
+    def _index(self, t, k):
+        """t[k] honouring __index chains; strings index the string
+        library (the reference opens the stock 5.1 string metatable,
+        script.h:75-77)."""
+        while True:
+            if isinstance(t, LuaTable):
+                v = t.get(k)
+                if v is not None:
+                    return v
+                h = t.mt.get("__index") if t.mt is not None else None
+                if h is None:
+                    return None
+                if isinstance(h, LuaTable):
+                    t = h
+                    continue
+                r = self._call(h, [t, k])
+                return r[0] if isinstance(r, tuple) else r
+            if isinstance(t, str):
+                return self._strlib.get(k)
+            if t is None:
+                raise LuaError("attempt to index a nil value")
+            raise LuaError(f"attempt to index a {_lua_type(t)} value")
+
+    def _newindex(self, t, k, v):
+        """t[k] = v honouring __newindex chains."""
+        while True:
+            if not isinstance(t, LuaTable):
+                raise LuaError(
+                    f"attempt to index a {_lua_type(t)} value")
+            if t.get(k) is not None or t.mt is None:
+                return t.set(k, v)
+            h = t.mt.get("__newindex")
+            if h is None:
+                return t.set(k, v)
+            if isinstance(h, LuaTable):
+                t = h
+                continue
+            self._call(h, [t, k, v])
+            return
+
+    _BIN_MM = {"+": "__add", "-": "__sub", "*": "__mul", "/": "__div",
+               "%": "__mod", "^": "__pow", "..": "__concat"}
+
+    def _binmm(self, o, a, b):
+        """Binary metamethod for `a o b` (either operand a table), or
+        None."""
+        name = self._BIN_MM.get(o)
+        if name is None:
+            return None
+        for v in (a, b):
+            if isinstance(v, LuaTable) and v.mt is not None:
+                h = v.mt.get(name)
+                if h is not None:
+                    r = self._call(h, [a, b])
+                    return (r[0] if isinstance(r, tuple) else r,)
+        return None
 
     # -- public ---------------------------------------------------------------
     def run(self, src: str, chunkname: str = "?"):
@@ -724,6 +869,10 @@ class Interp:
         if callable(fn):
             r = fn(*args)
             return r
+        if isinstance(fn, LuaTable) and fn.mt is not None:
+            h = fn.mt.get("__call")
+            if h is not None:
+                return self._call(h, [fn] + args)
         raise LuaError(f"attempt to call a {_lua_type(fn)} value")
 
     # -- statements -------------------------------------------------------------
@@ -819,9 +968,7 @@ class Interp:
         elif tgt[0] == "index":
             t = self.eval1(tgt[1], scope)
             k = self.eval1(tgt[2], scope)
-            if not isinstance(t, LuaTable):
-                raise LuaError(f"attempt to index a {_lua_type(t)} value")
-            t.set(k, v)
+            self._newindex(t, k, v)
         else:
             raise LuaError("cannot assign to this expression")
 
@@ -863,20 +1010,16 @@ class Interp:
         if op == "index":
             t = self.eval1(e[1], scope)
             k = self.eval1(e[2], scope)
-            if isinstance(t, LuaTable):
-                return t.get(k)
-            if t is None:
-                raise LuaError("attempt to index a nil value")
-            raise LuaError(f"attempt to index a {_lua_type(t)} value")
+            return self._index(t, k)
         if op == "call":
             fn = self.eval1(e[1], scope)
             args = self._evallist(e[2], scope, -1)
             return self._call(fn, args)
         if op == "methcall":
             obj = self.eval1(e[1], scope)
-            if not isinstance(obj, LuaTable):
-                raise LuaError("method call on non-table")
-            fn = obj.get(e[2])
+            # __index-aware lookup; strings resolve via the string
+            # library (s:sub(..), s:format(..) work as in stock 5.1)
+            fn = self._index(obj, e[2])
             args = [obj] + self._evallist(e[3], scope, -1)
             return self._call(fn, args)
         if op == "function":
@@ -909,6 +1052,11 @@ class Interp:
             if e[1] == "not":
                 return not _truthy(v)
             if e[1] == "-":
+                if isinstance(v, LuaTable) and v.mt is not None:
+                    h = v.mt.get("__unm")
+                    if h is not None:
+                        r = self._call(h, [v, v])
+                        return r[0] if isinstance(r, tuple) else r
                 return -_num(v)
             if e[1] == "#":
                 if isinstance(v, str):
@@ -927,19 +1075,49 @@ class Interp:
                 return lhs if _truthy(lhs) else self.eval1(e[3], scope)
             a = self.eval1(e[2], scope)
             b = self.eval1(e[3], scope)
-            if o == "==":
-                return _lua_eq(a, b)
-            if o == "~=":
-                return not _lua_eq(a, b)
+            if o in ("==", "~="):
+                eq = _lua_eq(a, b)
+                if (not eq and isinstance(a, LuaTable)
+                        and isinstance(b, LuaTable)
+                        and a.mt is not None):
+                    h = a.mt.get("__eq")
+                    if h is not None:
+                        r = self._call(h, [a, b])
+                        eq = _truthy(r[0] if isinstance(r, tuple)
+                                     else r)
+                return eq if o == "==" else not eq
             if o == "..":
+                mm = self._binmm(o, a, b)
+                if mm is not None:
+                    return mm[0]
                 return _str_or_num(a) + _str_or_num(b)
             if o in ("<", ">", "<=", ">="):
+                if isinstance(a, LuaTable) or isinstance(b, LuaTable):
+                    # __lt / __le, operand order follows the op
+                    x, y, name = {
+                        "<": (a, b, "__lt"), ">": (b, a, "__lt"),
+                        "<=": (a, b, "__le"), ">=": (b, a, "__le"),
+                    }[o]
+                    for v in (x, y):
+                        if isinstance(v, LuaTable) and v.mt is not None:
+                            h = v.mt.get(name)
+                            if h is not None:
+                                r = self._call(h, [x, y])
+                                return _truthy(
+                                    r[0] if isinstance(r, tuple)
+                                    else r)
+                    raise LuaError("attempt to compare "
+                                   f"{_lua_type(a)} with "
+                                   f"{_lua_type(b)}")
                 if isinstance(a, str) and isinstance(b, str):
                     pass
                 else:
                     a, b = _num(a), _num(b)
                 return {"<": a < b, ">": a > b,
                         "<=": a <= b, ">=": a >= b}[o]
+            mm = self._binmm(o, a, b)
+            if mm is not None:
+                return mm[0]
             a, b = _num(a), _num(b)
             if o == "+":
                 return a + b

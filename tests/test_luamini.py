@@ -158,3 +158,109 @@ def test_lua_script_missing_on_tick(tmp_path):
     bad.write_text("x = 1\n")
     with pytest.raises(ScriptError):
         LuaScript(EngineAPI(lv, ObjectPool()), str(bad))
+
+
+def test_metatables_index_chain():
+    """__index table chains + method sugar: the standard 5.1 OOP
+    pattern (script.h:75-77 opens the full stdlib; luamini covers the
+    core metamethods)."""
+    it = run("""
+        Animal = {}
+        Animal.__index = Animal
+        function Animal.new(name, sound)
+            local a = setmetatable({}, Animal)
+            a.name = name; a.sound = sound
+            return a
+        end
+        function Animal:speak()
+            return self.name .. " says " .. self.sound
+        end
+        Dog = setmetatable({}, {__index = Animal})
+        Dog.__index = Dog
+        function Dog.new(name)
+            local d = Animal.new(name, "woof")
+            return setmetatable(d, Dog)
+        end
+        function Dog:fetch() return self.name .. " fetches" end
+        d = Dog.new("rex")
+        r1 = d:speak()       -- inherited through two __index hops
+        r2 = d:fetch()
+        r3 = getmetatable(d) == Dog
+    """)
+    assert it.g["r1"] == "rex says woof"
+    assert it.g["r2"] == "rex fetches"
+    assert it.g["r3"] is True
+
+
+def test_metatables_newindex_and_call():
+    it = run("""
+        log = {}
+        proxy = setmetatable({}, {
+            __newindex = function(t, k, v)
+                table.insert(log, k)
+                rawset(t, k, v * 2)
+            end,
+            __call = function(self, x) return x + 1 end,
+        })
+        proxy.a = 10
+        got = rawget(proxy, "a")
+        called = proxy(41)
+        n = #log
+    """)
+    assert it.g["got"] == 20.0
+    assert it.g["called"] == 42.0
+    assert it.g["n"] == 1.0
+
+
+def test_metatables_operators():
+    it = run("""
+        V = {}
+        V.__index = V
+        V.__add = function(a, b) return V.new(a.x + b.x) end
+        V.__eq = function(a, b) return a.x == b.x end
+        V.__lt = function(a, b) return a.x < b.x end
+        V.__le = function(a, b) return a.x <= b.x end
+        V.__unm = function(a) return V.new(-a.x) end
+        V.__concat = function(a, b) return "v" .. a.x .. b.x end
+        V.__tostring = function(a) return "V(" .. a.x .. ")" end
+        function V.new(x) return setmetatable({x = x}, V) end
+        a, b = V.new(1), V.new(2)
+        s = (a + b).x
+        eq = (a == V.new(1))
+        lt = (a < b)
+        ge = (b >= a)
+        neg = (-a).x
+        cat = a .. b
+        str = tostring(a)
+    """)
+    g = it.g
+    assert g["s"] == 3.0 and g["eq"] is True and g["lt"] is True
+    assert g["ge"] is True and g["neg"] == -1.0
+    assert g["cat"] == "v12"
+    assert g["str"] == "V(1)"
+
+
+def test_string_methods_and_select():
+    it = run("""
+        s = ("hello"):upper()
+        n = ("abc"):len()
+        f = ("%d-%s"):format(3, "x")
+        cnt = select("#", 1, 2, 3)
+        second, third = select(2, "a", "b", "c")
+    """)
+    assert it.g["s"] == "HELLO"
+    assert it.g["n"] == 3.0
+    assert it.g["f"] == "3-x"
+    assert it.g["cnt"] == 3.0
+    assert it.g["second"] == "b" and it.g["third"] == "c"
+
+
+def test_protected_metatable():
+    it = Interp()
+    it.run("""
+        t = setmetatable({}, {__metatable = "locked"})
+        g = getmetatable(t)
+        ok = pcall(setmetatable, t, {})
+    """)
+    assert it.g["g"] == "locked"
+    assert it.g["ok"] is False
