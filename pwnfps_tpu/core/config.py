@@ -101,6 +101,27 @@ class RenderConfig:
     # worlddev build bound), so bit-exact: pack/unpack is the identity
     # and segment_body itself is untouched.
     pack_carry: bool = True
+    # mover-window cell fetch (pallas backend): only lanes that MOVE a
+    # step (DDA-stepped | portal-go) consume the fetched word, and
+    # movers are the tile's advancing front, whose packed-table chunk
+    # indices span <= 2 of the 16 chunks on 87% of flagship tile-steps
+    # (17.6% have no movers at all; tools/fetch_span.py).  span_fetch=K
+    # scans a K-chunk window at a dynamic base behind ONE tile-uniform
+    # cond instead of all lh/4 chunks.  Bit-exact: covered movers read
+    # the same word either way, and non-movers never consume the result
+    # (segment_body gates every f_next consumer behind stepped | pgo).
+    #
+    # OFF by default: measured SLOWER on chip despite cutting the
+    # census's largest unconditional block (-61 planes/step, -8.6%
+    # effective): 1080p depth-32 = 11.31 ms off, 12.26 ms at K=2,
+    # 12.46 at K=4; the isolating span_fetch=-1 ablation (reductions +
+    # cond, always-full scan) = 12.71 ms.  So the two per-step
+    # cross-lane reductions + cond cost +1.40 ms (~0.7 ms/reduction)
+    # while the window scan recovers only 0.45 ms - the same Mosaic
+    # per-step-scalar cost that killed the lean/full split.  Kept as
+    # the measured record and as the price tag on ANY
+    # per-step-reduction roadmap idea; docs/PERFORMANCE.md round 4.
+    span_fetch: int = 0
     # fused wave loop (fast mode): terminated lanes shade and restart
     # their bounce segment inside ONE DDA loop instead of waiting for a
     # per-wave barrier - a tile executes max_lane(total steps) rather

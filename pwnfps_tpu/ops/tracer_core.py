@@ -376,11 +376,18 @@ def make_sphere_all(n_spheres: int, get_sphere, math: Math,
             dot = dot_sse(rel, s.ray)
             calcrad2 = dist2 - dot * dot
             # scalar sphere terms stay off the VPU (fast mode only:
-            # the parity scan lives in _sphere_pass / tracer_jnp)
+            # the parity scan lives in _sphere_pass / tracer_jnp).
+            # inv_rad2 is a per-sphere SCALAR, so the lane-shaped
+            # divide becomes one multiply (VPU divides are multi-cycle
+            # - 14 of them were ~5% of the hoist body).  Double
+            # rounding perturbs sph_dist by ~1 ulp: fast mode already
+            # deviates from the cell-driven scan at sub-step scale,
+            # and the parity path never runs this code.
             rad2 = sr * sr
             safe_rad2 = jnp.maximum(rad2, F32(1e-30))
+            inv_rad2 = F32(1.0) / safe_rad2
             sph_dist = math.sqrt(dist2) - math.sqrt(jnp.maximum(
-                F32(1.0) - math.div(calcrad2, safe_rad2), F32(0.0)))
+                F32(1.0) - calcrad2 * inv_rad2, F32(0.0)))
             te_d = s.cdist + t_entry
             aux_c = sph_dist + te_d
             fire_c = jnp.maximum(aux_c, te_d)
@@ -991,7 +998,13 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig,
     tgt_cx = jnp.where(pgo, cx_f, jnp.where(stepped, cx2, s.cx))
     tgt_cz = jnp.where(pgo, cz_f, jnp.where(stepped, cz2, s.cz))
     tgt_pg = (jnp.where(pgo, page_f, s.page) if env.paged else None)
-    f_next = env.fetch(tgt_cx, tgt_cz, tgt_pg)
+    # move: the lanes that CONSUME f_next this step.  Every consumer
+    # below is gated behind stepped (tr1/tr2/chk/revert/m_wall2 and the
+    # transition reads of ncls/xc) or pgo (pgo itself; cont2/pgo2 are
+    # subsets), so a fetch may return anything for other lanes - the
+    # pallas backend's mover-window fetch exploits this
+    # (cfg.span_fetch; tools/fetch_span.py sizes it).
+    f_next = env.fetch(tgt_cx, tgt_cz, tgt_pg, move=stepped | pgo)
 
     # ---- transitions (floor<->tall shifts) --------------------------------
     f2 = f_next
@@ -1149,10 +1162,12 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig,
             aux_dist=jnp.where(drop, F32(-1.0), s.aux_dist))
 
     # ---- end-of-iteration sphere check (trace.h:668-673) ------------------
-    fire2 = (jnp.maximum(s.aux_dist, s.aux_t0)
-             if env.sphere_all is not None else s.aux_dist)
+    # `fire` (the pre-write max(aux_dist, aux_t0)) is still current
+    # here: the body changes aux_dist only via `drop` (to -1, and those
+    # lanes are excluded by the != -1 test) and never touches aux_t0,
+    # so reusing it is bit-identical to recomputing the max.
     end_sph = ((s.active != 0) & (s.aux_dist != F32(-1.0))
-               & (s.cdist > fire2))
+               & (s.cdist > fire))
     s = _terminate(s, end_sph, T_SPHERE, dist=s.aux_dist)
     return s
 

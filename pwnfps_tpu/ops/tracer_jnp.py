@@ -125,7 +125,9 @@ def make_env(world: W.WorldDev, meta: W.WorldMeta,
         is_p = (world.word & 0xF) == W.PORTAL
         ent_tab = ent_tab | jnp.where(is_p, slot << 7, 0)
 
-    def fetch(cx, cz, page) -> CellFields:
+    def fetch(cx, cz, page, move=None) -> CellFields:
+        # move (the consuming-lane mask) is a pallas-backend fetch
+        # hint; the XLA gather reads the whole table uniformly
         idx = flat_cell_index(cx, cz, page if paged else None)
         return CellFields(ent=jnp.take(ent_tab, idx, mode="clip"))
 

@@ -268,11 +268,25 @@ _PAGE_UNIFORM = _os.environ.get("PWNFPS_PAGE_UNIFORM", "1") != "0"
 
 
 def _compact_fetch(cword_ref, cx, cz, rows, chunks, page=None,
-                   n_pages=1, pack4=False) -> CellFields:
+                   n_pages=1, pack4=False, move=None, span_k=0,
+                   is_ref=True) -> CellFields:
     """Common-path fields from the packed cell table: one chunked
     gather + sub-word extract (2 16-bit entries per i32, or 4 8-bit
     entries when pack4 - see _pack4).  Cells beyond the table (grid
     rows >= meta.lh) miss every chunk and read 0 == the pad entry.
+
+    Mover-window mode (move is not None and span_k > 0, single-page
+    worlds): `move` marks the lanes that consume the fetched word this
+    step (tracer_core gates every f_next consumer behind it).  Their
+    chunk indices span <= span_k chunks on ~87% of flagship tile-steps
+    (tools/fetch_span.py: P(span<=2)=87.1%, and 17.6% of tile-steps
+    have no movers at all), so one tile-uniform cond picks between a
+    span_k-chunk scan at a dynamic base (the chip-proven scan_one
+    sublane-slice pattern) and the full static scan.  Bit-exact: a
+    covered mover reads the same word either way; an uncovered
+    non-mover reads 0, which no consumer sees.  OOB movers clamp to
+    cell 0 (flat_cell_index), which the masked min includes, so the
+    window always covers them.
 
     Paged worlds: tiles are 64x128-PIXEL blocks, so their rays cross
     portals (the only page changes) nearly together - measured 100%
@@ -292,16 +306,32 @@ def _compact_fetch(cword_ref, cx, cz, rows, chunks, page=None,
             lo = widx_l & 127
             hi = widx_l >> 7
             base = pmin * chunks
-            out = jnp.zeros_like(widx_l)
-            for c in range(chunks):
-                # dynamic sublane ref slice (Mosaic-supported; the
+
+            def scan_from(first, n):
+                # dynamic sublane ref slices (Mosaic-supported; the
                 # earlier uniform-index take_along_axis over the whole
                 # table hit the gather lowering's shape assert on chip)
-                row = cword_ref[pl.ds(base + c, 1), :]
-                g = jnp.take_along_axis(
-                    jnp.broadcast_to(row, widx_l.shape), lo, axis=1)
-                out = jnp.where(hi == c, g, out)
-            return out
+                out = jnp.zeros_like(widx_l)
+                for c in range(n):
+                    row = cword_ref[pl.ds(base + first + c, 1), :]
+                    g = jnp.take_along_axis(
+                        jnp.broadcast_to(row, widx_l.shape), lo, axis=1)
+                    out = jnp.where(hi == first + c, g, out)
+                return out
+
+            if move is None or span_k <= 0 or chunks <= span_k:
+                return scan_from(0, chunks)
+            # mover-window refinement (see the single-page branch
+            # below): movers' page-local chunk ids usually span <=
+            # span_k of the page's `chunks` rows
+            BIG = jnp.int32(1 << 20)
+            hmn = jnp.min(jnp.where(move, hi, BIG))
+            hmx = jnp.max(jnp.where(move, hi, -BIG))
+            wfirst = jnp.clip(hmn, 0, chunks - span_k)
+            return jax.lax.cond(
+                hmx - hmn < span_k,
+                lambda _: scan_from(wfirst, span_k),
+                lambda _: scan_from(0, chunks), 0)
 
         def scan_all(_):
             idx = flat_cell_index(cx, cz, page)
@@ -317,7 +347,51 @@ def _compact_fetch(cword_ref, cx, cz, rows, chunks, page=None,
     else:
         idx = flat_cell_index(cx, cz, None)
         widx = idx >> 2 if pack4 else idx >> 1
-        word = _chunked_gather(cword_ref, widx, rows, chunks=chunks)
+        if move is not None and span_k == -1:
+            # ABLATION: pay the two per-step cross-lane reductions +
+            # the cond but always take the full scan - isolates the
+            # Mosaic reduction/cond overhead that made the window
+            # fetch a net loss (perf_probe --spanfetch -1)
+            hi = widx >> 7
+            BIG = jnp.int32(1 << 20)
+            hmn = jnp.min(jnp.where(move, hi, BIG))
+            hmx = jnp.max(jnp.where(move, hi, -BIG))
+            word = jax.lax.cond(
+                hmx - hmn < jnp.int32(-(1 << 19)),
+                lambda _: jnp.zeros_like(widx),
+                lambda _: _chunked_gather(cword_ref, widx, rows,
+                                          chunks=chunks), 0)
+        elif move is None or span_k <= 0 or chunks <= span_k:
+            word = _chunked_gather(cword_ref, widx, rows, chunks=chunks)
+        else:
+            hi = widx >> 7
+            BIG = jnp.int32(1 << 20)
+            hmn = jnp.min(jnp.where(move, hi, BIG))
+            hmx = jnp.max(jnp.where(move, hi, -BIG))
+            # no movers: hmx-hmn < 0 <= span_k takes the window branch
+            # with a garbage base - sound, nothing consumes the result
+            base = jnp.clip(hmn, 0, chunks - span_k)
+            lo = widx & 127
+
+            def scan_window(_):
+                out = jnp.zeros_like(widx)
+                for c in range(span_k):
+                    if is_ref:
+                        row = cword_ref[pl.ds((base + c) * rows, 1), :]
+                    else:   # jnp-array stand-in (tools/op_census.py)
+                        row = jax.lax.dynamic_slice_in_dim(
+                            cword_ref, (base + c) * rows, 1)
+                    g = jnp.take_along_axis(
+                        jnp.broadcast_to(row, widx.shape), lo, axis=1)
+                    out = jnp.where(hi == base + c, g, out)
+                return out
+
+            def scan_full(_):
+                return _chunked_gather(cword_ref, widx, rows,
+                                       chunks=chunks)
+
+            word = jax.lax.cond(hmx - hmn < span_k, scan_window,
+                                scan_full, 0)
     if pack4:
         ent = (word >> ((idx & 3) * 8)) & 0x7F
     else:
@@ -463,10 +537,10 @@ def _kernel(cfg: RenderConfig, n_spheres: int, lh: int, has_clear: bool,
     pack4 = _pack4(cfg, has_clear)
     use_slot = _use_slot(pslots, pack4)
 
-    def fetch(cx, cz, page) -> CellFields:
+    def fetch(cx, cz, page, move=None) -> CellFields:
         return _compact_fetch(cword_ref, cx, cz, rows,
                               _cchunks(lh, pack4), page, n_pages,
-                              pack4)
+                              pack4, move=move, span_k=cfg.span_fetch)
 
     if use_slot:
         def fetch_portal(s_):

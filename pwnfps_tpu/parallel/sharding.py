@@ -361,6 +361,15 @@ def _render_cams_mesh_jit(world, meta: W.WorldMeta, cfg: RenderConfig,
                            seeds_t, sec)
 
     def ut(a):
+        # block-major -> row-major relayout: XLA reshards this via
+        # full-frame all-gathers (~11.5 frame equivalents over ICI per
+        # multicam step at 1080p, tools/mesh_collectives.py).  Pinning
+        # the target sharding here was measured WORSE (13.6 frame
+        # equivalents: the partitioner adds all-to-alls without
+        # dropping the gathers); the structural fix - 8-row tile
+        # rectangles so each device's tiles untile locally into its
+        # own blur band - is a trace-tile-shape change, left measured
+        # but unbuilt (docs/PERFORMANCE.md round 4).
         return _untile_cams(a.reshape(c, npad2)[:, :npad].reshape(-1),
                             c, h, w, bh, bw)
 
@@ -415,6 +424,8 @@ def _render_frame_mesh_jit(world, meta: W.WorldMeta, cfg: RenderConfig,
                            seeds_t, sec)
 
     def ut(a):
+        # see _render_cams_mesh_jit.ut on the relayout's collective
+        # cost (this path: ~5.4 frame equivalents per frame)
         return _untile(a[:npad], h, w, bh, bw)
 
     fb, zbuf = ut(fbf), ut(zbf)

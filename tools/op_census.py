@@ -81,9 +81,11 @@ def build(nospheres: bool, noskip: bool, chunk: int):
     n_spheres = meta.n_spheres
     lh = meta.lh
 
-    def fetch(cx, cz, page):
+    def fetch(cx, cz, page, move=None):
         return TP._compact_fetch(tabs.cword, cx, cz, rows,
-                                 TP._cchunks(lh, pack4), page, 1, pack4)
+                                 TP._cchunks(lh, pack4), page, 1, pack4,
+                                 move=move, span_k=cfg.span_fetch,
+                                 is_ref=False)
 
     if TP._use_slot(meta.pslots, pack4):
         def fetch_portal(s_):

@@ -51,6 +51,9 @@ def main() -> int:
                     help="disable the packed while-carry (cfg.pack_carry)")
     ap.add_argument("--nowater", action="store_true",
                     help="flat floor normal (sizes the water trig)")
+    ap.add_argument("--spanfetch", type=int, default=None,
+                    help="mover-window fetch span in chunks (0 "
+                         "disables; default = RenderConfig default)")
     ap.add_argument("--maxsteps", type=int, default=1000)
     args = ap.parse_args()
 
@@ -94,7 +97,9 @@ def main() -> int:
                        fused=args.fuse,
                        space_skip=not args.noskip,
                        pack_carry=not args.nopack,
-                       water=not args.nowater)
+                       water=not args.nowater,
+                       **({} if args.spanfetch is None
+                          else {"span_fetch": args.spanfetch}))
 
     cam = mat4_identity()
     sx, sz = lv.spawn
