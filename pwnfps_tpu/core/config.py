@@ -122,6 +122,13 @@ class RenderConfig:
     # the measured record and as the price tag on ANY
     # per-step-reduction roadmap idea; docs/PERFORMANCE.md round 4.
     span_fetch: int = 0
+    # pixel-rectangle shape of one Mosaic tile (fast mode; None =
+    # (tile/128, 128)).  Host-side tiling only - the kernel sees the
+    # same flat 8192-lane batches; the rectangle sets which pixels
+    # share a tile's uniform gates.  (8, 1024) aligns tiles to 8-row
+    # bands (the mesh local-untile shape); A/B knob, default shape
+    # measured best single-chip.
+    tile_rect: tuple | None = None
     # fused wave loop (fast mode): terminated lanes shade and restart
     # their bounce segment inside ONE DDA loop instead of waiting for a
     # per-wave barrier - a tile executes max_lane(total steps) rather

@@ -71,9 +71,23 @@ def gen_rays(rayb, rdx, rdy, width: int, height: int, parity: bool) -> V3:
 
 
 def _block_shape(cfg: RenderConfig):
-    """Pixel-rectangle shape of one Mosaic tile (rows x 128 lanes)."""
+    """Pixel-rectangle shape of one Mosaic tile.
+
+    The kernel consumes a FLAT 8192-lane batch per tile; the rectangle
+    only decides WHICH pixels share a tile (spatial coherence of the
+    tile-uniform event/sphere gates).  Default: (64, 128).
+    cfg.tile_rect overrides (fast mode) - e.g. (8, 1024) makes each
+    device's tiles whole 8-row bands, the shape that would let the
+    mesh paths untile locally (docs/PERFORMANCE.md round 4)."""
     from ..ops.tracer_pallas import PARITY_TILE, TILE
-    return ((PARITY_TILE if cfg.parity else TILE) // 128, 128)
+    n = PARITY_TILE if cfg.parity else TILE
+    if cfg.tile_rect is not None and not cfg.parity:
+        bh, bw = cfg.tile_rect
+        if bh * bw != n:
+            raise ValueError(f"tile_rect {cfg.tile_rect} must cover "
+                             f"{n} pixels")
+        return (bh, bw)
+    return (n // 128, 128)
 
 
 def _tile_rays(a, h, w, bh, bw, fill):

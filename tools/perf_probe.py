@@ -54,6 +54,9 @@ def main() -> int:
     ap.add_argument("--spanfetch", type=int, default=None,
                     help="mover-window fetch span in chunks (0 "
                          "disables; default = RenderConfig default)")
+    ap.add_argument("--rect", default=None,
+                    help="tile pixel-rectangle BHxBW (e.g. 8x1024; "
+                         "default 64x128)")
     ap.add_argument("--maxsteps", type=int, default=1000)
     args = ap.parse_args()
 
@@ -99,7 +102,10 @@ def main() -> int:
                        pack_carry=not args.nopack,
                        water=not args.nowater,
                        **({} if args.spanfetch is None
-                          else {"span_fetch": args.spanfetch}))
+                          else {"span_fetch": args.spanfetch}),
+                       **({} if args.rect is None
+                          else {"tile_rect": tuple(
+                           int(x) for x in args.rect.split("x"))}))
 
     cam = mat4_identity()
     sx, sz = lv.spawn
