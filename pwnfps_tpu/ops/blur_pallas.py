@@ -32,6 +32,7 @@ the record.)
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -69,8 +70,8 @@ def _avg_i32(a, b):
     return (a | b) - (_srl(a ^ b, 1) & np.int32(0x7F7F7F7F))
 
 
-def _blur_kernel(h, w, hp, wp, fstr, fh, G, pairs, hofs, nloc, zb_ref,
-                 tab_ref, *refs):
+def _blur_kernel(h, w, hp, wp, fstr, fh, G, pairs, hofs, nloc, dyn,
+                 zb_ref, tab_ref, *refs):
     """One grid step blurs BR output rows.  The candidate source rows
     arrive as G 8-row aligned block views (BlockSpec index maps
     i-G/2..i+G/2-1, clipped at the frame edges), so block fetches stay
@@ -110,9 +111,21 @@ def _blur_kernel(h, w, hp, wp, fstr, fh, G, pairs, hofs, nloc, zb_ref,
     if band:
         y0_ref = refs[0]
         refs = refs[1:]
-    grps = refs[:G]
-    out_ref = refs[G]
-    scr = refs[G + 1:G + 5]
+    if dyn:
+        # explicit-DMA mode: fb arrives ONCE as an HBM/ANY ref; halo
+        # groups are copied into VMEM scratch only when their row band
+        # fires, instead of the BlockSpec prefetching all G groups
+        # unconditionally (the measured ~2us/group "never-firing DMA"
+        # tax that forced the per-frame near/wide split)
+        fb_hbm = refs[0]
+        out_ref = refs[1]
+        scr = refs[2:6]
+        grps = refs[6:6 + G]
+        sems = refs[6 + G]
+    else:
+        grps = refs[:G]
+        out_ref = refs[G]
+        scr = refs[G + 1:G + 5]
     nc = wp // 128
     pid = pl.program_id(0)
     if band:
@@ -200,11 +213,27 @@ def _blur_kernel(h, w, hp, wp, fstr, fh, G, pairs, hofs, nloc, zb_ref,
     else:
         gbase = [jnp.clip(pid - G // 2 + g, 0, nblk - 1) * np.int32(BR)
                  for g in range(G)]
+    overlaps = [(gbase[g] <= rmax) & (gbase[g] + (BR - 1) >= rmin)
+                for g in range(G)]
+    if dyn:
+        # start every fired group's copy before the first scan waits,
+        # so the copies run concurrently; start/wait pair under the
+        # same predicate
+        for g in range(G):
+            def start(g=g):
+                pltpu.make_async_copy(
+                    fb_hbm.at[pl.ds(gbase[g], BR), :],
+                    grps[g], sems.at[g]).start()
+            pl.when(overlaps[g])(start)
     for t in range(4):
         scr[t][...] = jnp.zeros((BR, wp), I32)
 
-    def make_scan(g, p, roll):
+    def make_scan(g, p, roll, wait=False):
         def scan():
+            if wait:
+                pltpu.make_async_copy(
+                    fb_hbm.at[pl.ds(gbase[g], BR), :],
+                    grps[g], sems.at[g]).wait()
             grp = grps[g][...]
             ra = jnp.concatenate(
                 [grp[:, wp - roll:], grp[:, :wp - roll]], axis=1)
@@ -240,10 +269,11 @@ def _blur_kernel(h, w, hp, wp, fstr, fh, G, pairs, hofs, nloc, zb_ref,
         return scan
 
     for g in range(G):
-        overlap = (gbase[g] <= rmax) & (gbase[g] + (BR - 1) >= rmin)
-        pl.when(overlap)(make_scan(g, 0, 16))
+        # inner-window scan runs whenever the group fires, so the DMA
+        # wait lives there; the outer scan's gate is a subset of it
+        pl.when(overlaps[g])(make_scan(g, 0, 16, wait=dyn))
         if pairs == 2:
-            pl.when(overlap & outer_cols)(make_scan(g, 1, 48))
+            pl.when(overlaps[g] & outer_cols)(make_scan(g, 1, 48))
     out_ref[...] = _avg_i32(_avg_i32(scr[0][...], scr[1][...]),
                             _avg_i32(scr[2][...], scr[3][...]))
 
@@ -299,7 +329,8 @@ def dof_blur_band_pallas(fb_pad, zb, y0, fh: int, wide: bool):
     nblk_loc = hb // BR
     npadblk = hbH // BR
     hb8 = H // BR
-    kern = partial(_blur_kernel, 0, w, 0, wp, fstr, fh, G, pairs, H, hb)
+    kern = partial(_blur_kernel, 0, w, 0, wp, fstr, fh, G, pairs, H, hb,
+                   False)
     # group g of local block b fetches this camera's padded block
     # b + H/8 - G/2 + g (clipped to the camera's own padded region);
     # must mirror the gbase labels in _blur_kernel's band branch
@@ -333,8 +364,9 @@ def dof_blur_band_pallas(fb_pad, zb, y0, fh: int, wide: bool):
     return o.reshape(cl, hb, w)
 
 
-@partial(jax.jit, static_argnames=("passes", "frame_h"))
-def dof_blur_auto(fb, zbuf, passes: int = 1, frame_h: int | None = None):
+@partial(jax.jit, static_argnames=("passes", "frame_h", "dma"))
+def dof_blur_auto(fb, zbuf, passes: int = 1, frame_h: int | None = None,
+                  dma: str | None = None):
     """Exact DoF blur, Pallas halo kernel when depth permits.
 
     fb: [h,w] uint32 BGRA, zbuf: [h,w] f32 -> blurred fb (bit-identical
@@ -357,15 +389,24 @@ def dof_blur_auto(fb, zbuf, passes: int = 1, frame_h: int | None = None):
 
     nblk = hp // BR
 
-    def build_call(G, pairs):
+    def build_call(G, pairs, dyn=False):
         kern = partial(_blur_kernel, h, w, hp, wp, fstr, fh, G, pairs,
-                       None, None)
-        fb_specs = [
-            pl.BlockSpec((BR, wp),
-                         lambda i, g=g, G=G: (jnp.clip(i - G // 2 + g,
-                                                       0, nblk - 1), 0))
-            for g in range(G)
-        ]
+                       None, None, dyn)
+        if dyn:
+            # fb passed ONCE, staying in HBM; halo groups DMA'd into
+            # VMEM scratch only when their row band fires
+            fb_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+            scratch = ([pltpu.VMEM((BR, wp), jnp.int32)] * (4 + G)
+                       + [pltpu.SemaphoreType.DMA((G,))])
+        else:
+            fb_specs = [
+                pl.BlockSpec((BR, wp),
+                             lambda i, g=g, G=G: (
+                                 jnp.clip(i - G // 2 + g, 0, nblk - 1),
+                                 0))
+                for g in range(G)
+            ]
+            scratch = [pltpu.VMEM((BR, wp), jnp.int32)] * 4
         call = pl.pallas_call(
             kern,
             grid=(nblk,),
@@ -375,22 +416,27 @@ def dof_blur_auto(fb, zbuf, passes: int = 1, frame_h: int | None = None):
             ] + fb_specs,                                   # halo groups
             out_specs=pl.BlockSpec((BR, wp), lambda i: (i, 0)),
             out_shape=jax.ShapeDtypeStruct((hp, wp), I32),
-            scratch_shapes=[pltpu.VMEM((BR, wp), jnp.int32)] * 4,
+            scratch_shapes=scratch,
         )
 
         def passes_fn(f):
             for _ in range(passes):
                 fi = jax.lax.bitcast_convert_type(f, I32)
                 fip = jnp.pad(fi, ((0, hp - h), (0, wp - w)))
-                o = call(zbp, tab, *([fip] * G))[:h, :w]
+                fbs = (fip,) if dyn else (fip,) * G
+                o = call(zbp, tab, *fbs)[:h, :w]
                 f = jnp.where(keep,
                               jax.lax.bitcast_convert_type(o, f.dtype),
                               f)
             return f
         return passes_fn
 
-    near_passes = build_call(G_NEAR, 1)
-    wide_passes = build_call(G_WIDE, 2)
+    # dma (or env PWNFPS_BLUR_DMA): "wide"/"1" = explicit-DMA wide
+    # variant, "all" = both variants, "0" = BlockSpec prefetch (A/B
+    # knob; the env form is read at trace time)
+    _dma = os.environ.get("PWNFPS_BLUR_DMA", "0") if dma is None else dma
+    near_passes = build_call(G_NEAR, 1, dyn=_dma == "all")
+    wide_passes = build_call(G_WIDE, 2, dyn=_dma in ("1", "wide", "all"))
 
     # any tap beyond even the wide halo? fall back to the exact XLA
     # gather path (vmapped per camera frame when batched)

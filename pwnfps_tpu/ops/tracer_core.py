@@ -919,10 +919,14 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig,
         jnp.where(xmin, jnp.where(gsel < 0, FXN, FXP),
                   jnp.where(gz < 0, FZN, FZP)))
     marchable = is_floorish | is_tall | is_ramp
-    goes = a & marchable
-    cdist2 = jnp.where(goes, s.cdist + t, s.cdist)
-    pos2 = (pos + t * ray2).where(goes, pos)
-    ldir2 = jnp.where(goes, ldir_t, s.ldir)
+    # cdist2/pos2/ldir2 are UNGUARDED: every consumer selects behind a
+    # mask contained in (active & marchable) - cont2/near/my2/m_wall2,
+    # the ft-masked m_sph2/fog2, ramp_go's wy_post - so lanes outside
+    # that set never read them and the old `goes` selects were
+    # identities on all consumed values (r4 micro-diet; bit-exact)
+    cdist2 = s.cdist + t
+    pos2 = pos + t * ray2
+    ldir2 = ldir_t
 
     # ---- floor/tall: fog + sphere exit + Y hit (trace.h:302-392) ----------
     ft = a & (is_floorish | is_tall)
@@ -995,8 +999,10 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig,
     pgo = a & is_portal & (pkind == 1)
 
     # ---- the ONE per-step fetch: landing cell of steppers & portal rays --
-    tgt_cx = jnp.where(pgo, cx_f, jnp.where(stepped, cx2, s.cx))
-    tgt_cz = jnp.where(pgo, cz_f, jnp.where(stepped, cz2, s.cz))
+    # cx2 == s.cx bitwise for non-steppers (the xstep select adds 0),
+    # so the old where(stepped, cx2, s.cx) was an identity; same for cz
+    tgt_cx = jnp.where(pgo, cx_f, cx2)
+    tgt_cz = jnp.where(pgo, cz_f, cz2)
     tgt_pg = (jnp.where(pgo, page_f, s.page) if env.paged else None)
     # move: the lanes that CONSUME f_next this step.  Every consumer
     # below is gated behind stepped (tr1/tr2/chk/revert/m_wall2 and the
@@ -1085,12 +1091,14 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig,
         jnp.where(pgo2, pz_f,
                   jnp.where(cont2 | near, pos3.z, pos.z)))
     # ray: only the ramp-tilted terminals (pre-sphere, ramp Y hit)
-    # differ from the carried ray, and only in y
-    new_ray = V3(jnp.where(pgo2, vx_r, jnp.where(cont2, ray3.x, ray.x)),
+    # differ from the carried ray, and only in y; ray3.x/z == ray.x/z
+    # bitwise (the tilt touches y alone), so the cont2 selects on the
+    # x/z components were identities
+    new_ray = V3(jnp.where(pgo2, vx_r, ray.x),
                  jnp.where(cont2, ray3.y,
                            jnp.where(m_presph | m_ryhit, ray_y2,
                                      ray.y)),
-                 jnp.where(pgo2, vz_r, jnp.where(cont2, ray3.z, ray.z)))
+                 jnp.where(pgo2, vz_r, ray.z))
     new_wd = V3(jnp.where(pgo2, wx_r, jnp.where(cont2, wnx, wdist.x)),
                 jnp.where(cont2, wny, wdist.y),
                 jnp.where(pgo2, wz_r, jnp.where(cont2, wnz, wdist.z)))

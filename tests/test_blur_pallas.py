@@ -52,6 +52,23 @@ def test_blur_pallas_bitexact(h, w, zmax):
         f"{np.argwhere(~eq)[0]}")
 
 
+@pytest.mark.parametrize("h,w,zmax", [
+    (48, 256, 7.0),      # near variant, dyn (dma="all")
+    (240, 320, 80.0),    # wide variant, dyn: outer windows fire
+    (64, 256, 370.0),    # wide variant, dyn: reach limit
+])
+def test_blur_pallas_dma_bitexact(h, w, zmax):
+    """Explicit-DMA halo fetch (PWNFPS_BLUR_DMA) is bit-identical to
+    the BlockSpec-prefetch variants."""
+    fb, z = _frame(h, w, zmax, seed=h * 7 + w)
+    got = _run(lambda f, d, p: dof_blur_auto(f, d, p, dma="all"), fb, z)
+    want = np.asarray(jax.jit(dof_blur)(fb, z))
+    eq = got == want
+    assert eq.all(), (
+        f"{(~eq).sum()}/{eq.size} px differ, first at "
+        f"{np.argwhere(~eq)[0]}")
+
+
 def test_blur_pallas_multipass():
     fb, z = _frame(56, 256, 6.0, seed=3)
     got = _run(dof_blur_auto, fb, z, passes=2)
