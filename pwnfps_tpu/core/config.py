@@ -129,6 +129,17 @@ class RenderConfig:
     # bands (the mesh local-untile shape); A/B knob, default shape
     # measured best single-chip.
     tile_rect: tuple | None = None
+    # 2D frame-layout trace I/O (pallas fast mode, default-(64,128)
+    # rectangles): the kernel's BlockSpecs address each tile's pixel
+    # rectangle of the padded [hp, wp] frame directly (index map
+    # i -> (i // nbx, i % nbx)), so rays arrive and fb/zbuf leave in
+    # ROW-MAJOR frame layout - no host-side block-major tile/untile
+    # relayouts (7 input + 2 output XLA transposes per frame), and a
+    # row-band-sharded mesh untiles locally.  Bit-equal to the flat
+    # path: same pixel rectangles in the same grid order
+    # (tests/test_pallas.py::test_pallas_frame_hw_bitexact).
+    # OFF until chip-A/B'd (tools/perf_probe.py --trace2d).
+    trace_2d: bool = False
     # fused wave loop (fast mode): terminated lanes shade and restart
     # their bounce segment inside ONE DDA loop instead of waiting for a
     # per-wave barrier - a tile executes max_lane(total steps) rather

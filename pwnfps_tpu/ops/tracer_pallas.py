@@ -639,21 +639,54 @@ def _kernel(cfg: RenderConfig, n_spheres: int, lh: int, has_clear: bool,
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "n_spheres", "n_rays", "lh",
                                     "has_clear", "n_pages",
-                                    "sphere_page", "pack", "pslots"))
+                                    "sphere_page", "pack", "pslots",
+                                    "frame_hw"))
 def _trace_pallas(tables: PallasTables, cfg: RenderConfig,
                   n_spheres: int, n_rays: int, lh: int, has_clear: bool,
                   n_pages: int, sphere_page: int, pack: bool,
                   pslots: int,
-                  fx, fy, fz, rx, ry, rz, seeds, sec, page0):
+                  fx, fy, fz, rx, ry, rz, seeds, sec, page0,
+                  frame_hw=None):
     tile = PARITY_TILE if cfg.parity else TILE
     ROWS = tile // 128
-    n_pad = -(-n_rays // tile) * tile
-    tiles = n_pad // tile
     paged = n_pages > 1
+    if frame_hw is not None:
+        # 2D frame layout: inputs are ROW-MAJOR [h*w] pixels; each grid
+        # step's BlockSpec addresses its (ROWS, 128) pixel rectangle of
+        # the padded (hp, wp) frame directly, and outputs land row-major
+        # the same way.  Kills the block-major tile/untile relayouts the
+        # flat path pays in XLA (7 inputs + 2 outputs per frame), and is
+        # the layout under which a row-band-sharded mesh untiles locally.
+        # Per-tile blocks (and the grid order) are identical to the flat
+        # path's _tile_rays blocks, so the outputs are bit-equal.
+        h, w = frame_hw
+        assert n_rays == h * w and not cfg.parity
+        hp = -(-h // ROWS) * ROWS
+        wp = -(-w // 128) * 128
+        nbx = wp // 128
+        tiles = (hp // ROWS) * nbx
 
-    def pad(a, fill):
-        return jnp.pad(a, (0, n_pad - n_rays),
-                       constant_values=fill).reshape(tiles * ROWS, 128)
+        def pad(a, fill):
+            return jnp.pad(a.reshape(h, w),
+                           ((0, hp - h), (0, wp - w)),
+                           constant_values=fill)
+
+        tile_spec = pl.BlockSpec(
+            (ROWS, 128), lambda i: (i // nbx, i % nbx),
+            memory_space=pltpu.VMEM)
+        oshape = (hp, wp)
+    else:
+        n_pad = -(-n_rays // tile) * tile
+        tiles = n_pad // tile
+
+        def pad(a, fill):
+            return jnp.pad(a, (0, n_pad - n_rays),
+                           constant_values=fill).reshape(tiles * ROWS,
+                                                         128)
+
+        tile_spec = pl.BlockSpec((ROWS, 128), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)
+        oshape = (tiles * ROWS, 128)
 
     fx, fy, fz = pad(fx, 1.0), pad(fy, 0.5), pad(fz, 1.0)
     rx, ry, rz = pad(rx, 0.5), pad(ry, -0.5), pad(rz, 0.5)
@@ -662,9 +695,6 @@ def _trace_pallas(tables: PallasTables, cfg: RenderConfig,
     seeds = pad(seeds, 1)
     sec2 = jnp.asarray(sec, jnp.float32).reshape(1, 1)
     page2 = jnp.asarray(page0, jnp.int32).reshape(1, 1)
-
-    tile_spec = pl.BlockSpec((ROWS, 128), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM)
     full = lambda shape: pl.BlockSpec(
         shape, lambda i: tuple(0 for _ in shape),
         memory_space=pltpu.VMEM)
@@ -693,8 +723,8 @@ def _trace_pallas(tables: PallasTables, cfg: RenderConfig,
                   tile_spec, tile_spec, tile_spec, tile_spec],
         out_specs=[tile_spec] * (2 if pack else 5),
     )
-    f32s = jax.ShapeDtypeStruct((tiles * ROWS, 128), jnp.float32)
-    i32s = jax.ShapeDtypeStruct((tiles * ROWS, 128), jnp.int32)
+    f32s = jax.ShapeDtypeStruct(oshape, jnp.float32)
+    i32s = jax.ShapeDtypeStruct(oshape, jnp.int32)
     outs = [i32s, f32s] if pack else [f32s] * 5
     kern = functools.partial(_kernel, cfg, n_spheres, lh, has_clear,
                              n_pages, sphere_page, pack, pslots)
@@ -704,8 +734,12 @@ def _trace_pallas(tables: PallasTables, cfg: RenderConfig,
       tables.spht, tables.rsqrt, tables.rcp, sec2, page2,
       fx, fy, fz, rx, ry, rz, seeds)
 
-    def unpad(a):
-        return a.reshape(-1)[:n_rays]
+    if frame_hw is not None:
+        def unpad(a):
+            return a[:frame_hw[0], :frame_hw[1]]
+    else:
+        def unpad(a):
+            return a.reshape(-1)[:n_rays]
 
     if pack:
         ofb, od = res
@@ -717,12 +751,18 @@ def _trace_pallas(tables: PallasTables, cfg: RenderConfig,
 
 def trace_wave_pallas(world: W.WorldDev, meta: W.WorldMeta,
                       cfg: RenderConfig, ifrom: V3, iray: V3, seed, sec,
-                      page0=0, pack=False):
+                      page0=0, pack=False, frame_hw=None):
     """Drop-in trace_wave with the Mosaic kernel backend.  All rays
     start in page `page0` (paged worlds).  pack=True quantizes to BGRA8
     IN-KERNEL (bit-equal to tracer_core.col_ftoint) and returns
     (fb uint32 [n], dist) instead of (C4, dist) - one XLA pass and
-    three framebuffer-sized HBM writes fewer."""
+    three framebuffer-sized HBM writes fewer.
+
+    frame_hw=(h, w) (fast mode + pack only): the flat inputs are
+    row-major frame pixels; the kernel's BlockSpecs address (64, 128)
+    pixel rectangles of the padded frame directly and the outputs come
+    back as [h, w] arrays - no host-side tile/untile relayouts.
+    Bit-equal to the flat path (same blocks, same grid order)."""
     assert meta.n_spheres <= NSPH_MAX, (
         f"pallas path supports <= {NSPH_MAX} spheres, got "
         f"{meta.n_spheres}")
@@ -733,4 +773,5 @@ def trace_wave_pallas(world: W.WorldDev, meta: W.WorldMeta,
                          meta.has_clear, meta.n_pages, meta.sphere_page,
                          pack, meta.pslots,
                          ifrom.x, ifrom.y, ifrom.z,
-                         iray.x, iray.y, iray.z, seed, sec, page0)
+                         iray.x, iray.y, iray.z, seed, sec, page0,
+                         frame_hw=frame_hw)

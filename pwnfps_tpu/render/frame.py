@@ -118,6 +118,12 @@ def _trace_cols(world, meta, cfg, ifrom, rays, seeds, sec, h, w):
     if cfg.backend == "pallas":
         from ..ops.tracer_pallas import trace_wave_pallas
         bh, bw = _block_shape(cfg)
+        if cfg.trace_2d and bw == 128 and not cfg.parity:
+            col4, dist = trace_wave_pallas(world, meta, cfg, ifrom,
+                                           rays, seeds, sec,
+                                           page0=cfg.cam_page,
+                                           frame_hw=(h, w))
+            return C4(*col4), dist
         # pad rays sit at (1,.5,1) - inside a wall cell, dead in 1 step
         t = lambda a, fill: _tile_rays(a, h, w, bh, bw, fill)
         ifrom_t = V3(t(ifrom.x, 1.0), t(ifrom.y, 0.5), t(ifrom.z, 1.0))
@@ -140,6 +146,12 @@ def _trace(world, meta, cfg, ifrom, rays, seeds, sec, h, w):
         # quantize in-kernel: same bits as col_ftoint, fewer HBM writes
         from ..ops.tracer_pallas import trace_wave_pallas
         bh, bw = _block_shape(cfg)
+        if cfg.trace_2d and bw == 128 and not cfg.parity:
+            # default rect: the kernel's 2D BlockSpecs address the
+            # pixel rectangles directly - no tile/untile relayouts
+            return trace_wave_pallas(world, meta, cfg, ifrom, rays,
+                                     seeds, sec, page0=cfg.cam_page,
+                                     pack=True, frame_hw=(h, w))
         t = lambda a, fill: _tile_rays(a, h, w, bh, bw, fill)
         ifrom_t = V3(t(ifrom.x, 1.0), t(ifrom.y, 0.5), t(ifrom.z, 1.0))
         rays_t = V3(t(rays.x, 0.5), t(rays.y, -0.5), t(rays.z, 0.5))

@@ -92,3 +92,51 @@ def test_pallas_matches_jnp(parity):
         assert bit.any(), "no ray bit-exact at all"
         assert (bit | close).mean() >= 0.9, (
             f"{(~(bit | close)).sum()}/{n} rays diverge structurally")
+
+
+@pytest.mark.parametrize("pack", [True, False])
+def test_pallas_frame_hw_bitexact(pack):
+    """frame_hw 2D BlockSpec layout == flat tile/untile path, bit for
+    bit (same pixel rectangles, same grid order; only the HBM layout
+    the specs address differs)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from pwnfps_tpu.render.frame import _tile_rays, _untile
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    world, meta = _setup()
+    cfg = RenderConfig(maxsteps=1000 if on_tpu else 48)
+    h, w = 24, 100                      # pads to one (64, 128) tile
+    n = h * w
+    rng = np.random.default_rng(7)
+    o = (9.5, 0.5, 4.5)
+    fv = V3(*(jnp.full((n,), o[i], jnp.float32) for i in range(3)))
+    d = rng.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d[:, 1] *= 0.6
+    rv = V3(*(jnp.asarray(d[:, i].astype(np.float32)) for i in range(3)))
+    seeds = jnp.asarray(rng.integers(0, 2**31, n).astype(np.uint32))
+    sec = np.float32(2.5)
+
+    t = lambda a, fill: _tile_rays(a, h, w, 64, 128, fill)
+    fv_t = V3(t(fv.x, 1.0), t(fv.y, 0.5), t(fv.z, 1.0))
+    rv_t = V3(t(rv.x, 0.5), t(rv.y, -0.5), t(rv.z, 0.5))
+
+    import contextlib
+    ctx = (contextlib.nullcontext() if on_tpu
+           else pltpu.force_tpu_interpret_mode())
+    with ctx:
+        got = trace_wave_pallas(world, meta, cfg, fv, rv, seeds, sec,
+                                pack=pack, frame_hw=(h, w))
+        want = trace_wave_pallas(world, meta, cfg, fv_t, rv_t,
+                                 t(seeds, 1), sec, pack=pack)
+    if pack:
+        fb2, z2 = np.asarray(got[0]), np.asarray(got[1])
+        fbf = np.asarray(_untile(want[0], h, w, 64, 128))
+        zf = np.asarray(_untile(want[1], h, w, 64, 128))
+        assert (fb2 == fbf).all() and (
+            z2.view(np.uint32) == zf.view(np.uint32)).all()
+    else:
+        for a2, af in list(zip(got[0], want[0])) + [(got[1], want[1])]:
+            a2 = np.asarray(a2)
+            af = np.asarray(_untile(af, h, w, 64, 128))
+            assert (a2.view(np.uint32) == af.view(np.uint32)).all()
