@@ -138,8 +138,19 @@ class RenderConfig:
     # row-band-sharded mesh untiles locally.  Bit-equal to the flat
     # path: same pixel rectangles in the same grid order
     # (tests/test_pallas.py::test_pallas_frame_hw_bitexact).
-    # OFF until chip-A/B'd (tools/perf_probe.py --trace2d).
-    trace_2d: bool = False
+    # Chip A/B (r4, same session, 1080p depth-32): 11.12 ms on vs
+    # 11.18 off - neutral-to-slightly-better, and it deletes 9 XLA
+    # relayout passes, so ON by default (tools/perf_probe.py --trace2d
+    # remains the knob).
+    trace_2d: bool = True
+    # mesh renderers: shard frames as contiguous row BANDS traced in
+    # 2D frame layout when the frame is tall enough
+    # (parallel/sharding._band_rows) - each device untiles and blurs
+    # its own rows, so the only per-frame collectives are the blur's
+    # +-48-row halo ppermutes (vs ~5.4 frame equivalents of relayout
+    # all-gathers on the flat block-major path,
+    # tools/mesh_collectives.py).  False = always the flat path.
+    mesh_bands: bool = True
     # fused wave loop (fast mode): terminated lanes shade and restart
     # their bounce segment inside ONE DDA loop instead of waiting for a
     # per-wave barrier - a tile executes max_lane(total steps) rather

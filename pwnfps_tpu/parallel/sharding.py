@@ -197,7 +197,8 @@ def _render_cams_jit(world, meta: W.WorldMeta, cfg: RenderConfig,
 
 
 def _dof_blur_mesh(fb, zbuf, cfg: RenderConfig, mesh: Mesh,
-                   cam_axes: tuple, row_axes: tuple):
+                   cam_axes: tuple, row_axes: tuple, band: int = 0,
+                   real_h: int = 0):
     """Row-band sharded DoF blur (round-3 VERDICT #5).
 
     Each device blurs only the frame rows it already owns after a
@@ -214,7 +215,13 @@ def _dof_blur_mesh(fb, zbuf, cfg: RenderConfig, mesh: Mesh,
     sharding the camera dim and the row dim (row_axes may name every
     mesh axis for a single-camera frame).  Returns blurred fb with
     rows still band-sharded over row_axes — NOT replicated.
-    Bit-identical to per-camera blur.dof_blur for every input."""
+    Bit-identical to per-camera blur.dof_blur for every input.
+
+    band (banded-trace callers): use this band height per row shard
+    (a BR multiple; fb must arrive already padded to band*nrow rows
+    with zbuf=1.0 pad) so the blur shards exactly like the trace's
+    bands and NO resharding sits between them; real_h is then the
+    camera's true frame height (tap clipping + focal strength)."""
     from ..ops.blur import dof_blur, dof_blur_band
     from ..ops.blur_pallas import BR, G_NEAR, RR
 
@@ -223,7 +230,12 @@ def _dof_blur_mesh(fb, zbuf, cfg: RenderConfig, mesh: Mesh,
     nrow = 1
     for a in row_axes:
         nrow *= mesh.shape[a]
-    hp2 = -(-h // (BR * nrow)) * (BR * nrow)
+    if band:
+        assert band % BR == 0 and h == band * nrow and real_h
+        hp2 = h
+        h = real_h
+    else:
+        hp2 = -(-h // (BR * nrow)) * (BR * nrow)
     hb = hp2 // nrow
     # halo: K full-band hops cover >= 48 rows (or the whole frame)
     K = 0 if nrow == 1 else min(-(-48 // hb), nrow - 1)
@@ -274,13 +286,16 @@ def _dof_blur_mesh(fb, zbuf, cfg: RenderConfig, mesh: Mesh,
 
     def sharded(wide):
         def run(f):
-            fp = jnp.pad(f, ((0, 0), (0, hp2 - h), (0, 0)))
-            zp = jnp.pad(zbuf, ((0, 0), (0, hp2 - h), (0, 0)),
-                         constant_values=1.0)
+            if band:
+                fp, zp = f, zbuf     # caller pre-padded to band * nrow
+            else:
+                fp = jnp.pad(f, ((0, 0), (0, hp2 - h), (0, 0)))
+                zp = jnp.pad(zbuf, ((0, 0), (0, hp2 - h), (0, 0)),
+                             constant_values=1.0)
             out = jax.shard_map(make_local(wide), mesh=mesh,
                                 in_specs=(spec, spec),
                                 out_specs=spec)(fp, zp)
-            return out[:, :h]
+            return out if band else out[:, :h]
         return run
 
     def fallback(f):
@@ -289,7 +304,14 @@ def _dof_blur_mesh(fb, zbuf, cfg: RenderConfig, mesh: Mesh,
         sh_cam = NamedSharding(mesh, P(cam_spec))
         f = jax.lax.with_sharding_constraint(f, sh_cam)
         zz = jax.lax.with_sharding_constraint(zbuf, sh_cam)
-        f = jax.vmap(lambda a, b: dof_blur(a, b, passes))(f, zz)
+        if band:
+            # the pad rows must not shape the blur (fstr, tap clip):
+            # blur the true frame, re-pad to the band layout
+            fr = jax.vmap(
+                lambda a, b: dof_blur(a[:h], b[:h], passes))(f, zz)
+            f = jnp.concatenate([fr, f[:, h:]], axis=1)
+        else:
+            f = jax.vmap(lambda a, b: dof_blur(a, b, passes))(f, zz)
         return jax.lax.with_sharding_constraint(
             f, NamedSharding(mesh, spec))
 
@@ -329,6 +351,71 @@ def _render_cams_mesh_jit(world, meta: W.WorldMeta, cfg: RenderConfig,
         return (rayb[:, i, None, None]
                 + ys_[None, :, None] * rdy[:, i, None, None]
                 + xs_[None, None, :] * rdx[:, i, None, None])  # [C,h,w]
+
+    Rloc = _band_rows(cfg, n_px)
+    if Rloc:
+        # row-banded 2D layout: cameras over "cam", each camera's rows
+        # over "px" as contiguous bands; rays/seeds generated INSIDE
+        # shard_map from the per-camera vectors (zero prologue
+        # collectives), local trace + local untile + banded blur - no
+        # relayout collectives (the flat path below pays ~11.5 frame
+        # equivalents of all-gathers per step, tools/mesh_collectives.py)
+        hp2 = Rloc * n_px
+        spec3 = P("cam", "px", None)
+        xs_u = jnp.arange(w, dtype=jnp.uint32)
+
+        def local(wd, og_l, sec_l, rb_l, rx_l, ry_l):
+            # promote cam-only/replicated inputs to vary over every
+            # axis, so lax.cond branches inside the tracer agree on
+            # varying manual axes
+            og_l = jax.lax.pcast(og_l, "px", to="varying")
+            rb_l = jax.lax.pcast(rb_l, "px", to="varying")
+            rx_l = jax.lax.pcast(rx_l, "px", to="varying")
+            ry_l = jax.lax.pcast(ry_l, "px", to="varying")
+            cl = og_l.shape[0]
+            ys_l = (jax.lax.axis_index("px") * Rloc
+                    + jnp.arange(Rloc, dtype=jnp.int32))
+            live = (ys_l < h)[None, :, None]           # [1, Rloc, 1]
+            ysf = ys_l.astype(jnp.float32)
+
+            def compl(i, fill):
+                v = (rb_l[:, i, None, None]
+                     + ysf[None, :, None] * ry_l[:, i, None, None]
+                     + xs_[None, None, :] * rx_l[:, i, None, None])
+                return jnp.where(live, v,
+                                 jnp.float32(fill)).reshape(-1)
+
+            rv = V3(compl(0, _FILLS["rx"]), compl(1, _FILLS["ry"]),
+                    compl(2, _FILLS["rz"]))
+            s1 = jnp.where(live[0],
+                           lcg.pixel_seed(
+                               xs_u[None, :],
+                               ys_l.astype(jnp.uint32)[:, None], w),
+                           jnp.uint32(_FILLS["seed"]))
+            s_l = jnp.broadcast_to(s1[None], (cl, Rloc, w)).reshape(-1)
+            n_l = cl * Rloc * w
+            rep = lambda v: jnp.repeat(v, Rloc * w,
+                                       total_repeat_length=n_l)
+            fv = V3(rep(og_l[:, 0]), rep(og_l[:, 1]), rep(og_l[:, 2]))
+            fbl, zbl = _trace_band(wd, meta, cfg, fv, rv, s_l, sec_l,
+                                   (cl * Rloc, w))
+            return (fbl.reshape(cl, Rloc, w), zbl.reshape(cl, Rloc, w))
+
+        wspec = jax.tree.map(lambda _: P(), world)
+        fb, zbuf = jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(wspec, P("cam", None), P(), P("cam", None),
+                      P("cam", None), P("cam", None)),
+            out_specs=(spec3, spec3),
+        )(world, cams[:, 3, :3], jnp.asarray(sec, jnp.float32),
+          rayb, rdx, rdy)
+
+        if cfg.postproc_blur:
+            rows = jnp.arange(hp2, dtype=jnp.int32)[None, :, None]
+            zb1 = jnp.where(rows < h, zbuf, jnp.float32(1.0))
+            fb = _dof_blur_mesh(fb, zb1, cfg, mesh, ("cam",), ("px",),
+                                band=Rloc, real_h=h)
+        return fb[:, :h], zbuf[:, :h]
 
     if cfg.backend == "pallas":
         from ..render.frame import _block_shape
@@ -438,15 +525,145 @@ def _render_frame_mesh_jit(world, meta: W.WorldMeta, cfg: RenderConfig,
     return fb, zbuf
 
 
+def _band_rows(cfg: RenderConfig, n_bands: int) -> int:
+    """Rows per row-shard of the banded mesh path, or 0 if the frame
+    does not band (too short, parity, or a non-default tile
+    rectangle).  pallas: a band is a whole number of (64, 128)
+    block-rows so each device's 2D-layout trace tiles land inside its
+    own band; jnp: any blur-band (8-row) multiple (the flat trace is
+    layout-free)."""
+    if cfg.parity or not cfg.mesh_bands or n_bands < 1:
+        return 0
+    if cfg.backend == "pallas":
+        from ..ops.tracer_pallas import TILE
+        BH = TILE // 128
+        if cfg.tile_rect is not None and cfg.tile_rect != (BH, 128):
+            return 0
+    else:
+        BH = 8
+    h = cfg.height
+    if h // BH < n_bands:       # fewer live block-rows than shards
+        return 0
+    return -(-h // (BH * n_bands)) * BH
+
+
+def _trace_band(wd, meta: W.WorldMeta, cfg: RenderConfig, fv: V3,
+                rv: V3, seeds, sec, hw):
+    """Per-device band trace -> (fb [*hw] uint32, zbuf [*hw] f32).
+    pallas: 2D frame-layout kernel I/O (no relayouts); jnp: the flat
+    elementwise trace reshaped (layout-free)."""
+    if cfg.backend == "pallas":
+        from ..ops.tracer_pallas import trace_wave_pallas
+        return trace_wave_pallas(wd, meta, cfg, fv, rv, seeds, sec,
+                                 page0=cfg.cam_page, pack=True,
+                                 frame_hw=hw)
+    page = (jnp.full_like(seeds, cfg.cam_page).astype(jnp.int32)
+            if meta.n_pages > 1 else None)
+    col4, dist = trace_wave(wd, meta, cfg, fv, rv, seeds, sec, page)
+    return col_ftoint(col4).reshape(hw), dist.reshape(hw)
+
+
+@partial(jax.jit, static_argnames=("meta", "cfg", "mesh"))
+def _render_frame_mesh_banded_jit(world, meta: W.WorldMeta,
+                                  cfg: RenderConfig, mesh: Mesh,
+                                  origin, rayb, rdx, rdy, sec):
+    """ONE camera's frame sharded over the mesh as CONTIGUOUS ROW
+    BANDS, traced in 2D frame layout (tracer_pallas frame_hw): every
+    device traces, untiles and DoF-blurs its own rows, so the only
+    collectives in the whole frame are the blur's +-48-row halo
+    ppermutes - no block-major->row-major relayout all-gathers (the
+    ~5.4 frame equivalents the flat path pays,
+    tools/mesh_collectives.py).  The banding trades that for trace
+    imbalance bounded by ceil(blocks/devices)/(blocks/devices) (the
+    pad bands die in one step).  Direct analogue of
+    /root/reference/screen.h:63-67,77-78 where BOTH the trace rows and
+    the blur rows split across OpenMP threads.
+
+    Returns (fb [hp2, w] uint32, zbuf [hp2, w] f32), band-sharded over
+    every mesh axis; rows >= cfg.height are pad."""
+    h, w = cfg.height, cfg.width
+    nd = mesh.size
+    axes = tuple(mesh.axis_names)
+    Rloc = _band_rows(cfg, nd)
+    hp2 = Rloc * nd
+    spec = P(axes if len(axes) > 1 else axes[0], None)
+
+    # rays/seeds are generated INSIDE shard_map from the 4 camera
+    # vectors: each device builds exactly its own band's pixels from
+    # scalars, so the blur-off path compiles to ZERO collectives (a
+    # globally-materialized+pad+reshard prologue cost ~0.5 frame
+    # equivalents of boundary ppermutes; tools/mesh_collectives.py,
+    # pinned by test_banded_frame_trace_has_no_collectives).  Pad rows
+    # (band rows >= h) get the dead-ray fills.
+    xs = jnp.arange(1, w + 1, dtype=jnp.int32).astype(jnp.float32)
+    xs_u = jnp.arange(w, dtype=jnp.uint32)
+
+    def local(wd, og, sec_l, rb, rx, ry):
+        og = jax.lax.pcast(og, axes, to="varying")
+        rb = jax.lax.pcast(rb, axes, to="varying")
+        rx = jax.lax.pcast(rx, axes, to="varying")
+        ry = jax.lax.pcast(ry, axes, to="varying")
+        idx = jnp.int32(0)
+        for a in axes:
+            idx = idx * mesh.shape[a] + jax.lax.axis_index(a)
+        ys_l = idx * Rloc + jnp.arange(Rloc, dtype=jnp.int32)
+        live = (ys_l < h)[:, None]                       # [Rloc, 1]
+        ysf = ys_l.astype(jnp.float32)
+
+        def comp(i, fill):
+            v = (rb[i] + ysf[:, None] * ry[i]) + xs[None, :] * rx[i]
+            return jnp.where(live, v, jnp.float32(fill)).reshape(-1)
+
+        rv = V3(comp(0, _FILLS["rx"]), comp(1, _FILLS["ry"]),
+                comp(2, _FILLS["rz"]))
+        s2 = jnp.where(live,
+                       lcg.pixel_seed(xs_u[None, :],
+                                      ys_l.astype(jnp.uint32)[:, None],
+                                      w),
+                       jnp.uint32(_FILLS["seed"])).reshape(-1)
+        n_l = Rloc * w
+        fv = V3(jnp.full((n_l,), og[0]), jnp.full((n_l,), og[1]),
+                jnp.full((n_l,), og[2]))
+        return _trace_band(wd, meta, cfg, fv, rv, s2, sec_l, (Rloc, w))
+
+    wspec = jax.tree.map(lambda _: P(), world)
+    og = jnp.asarray(origin, jnp.float32)
+    fb, zbuf = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(wspec, P(), P(), P(), P(), P()),
+        out_specs=(spec, spec),
+    )(world, og, jnp.asarray(sec, jnp.float32),
+      jnp.asarray(rayb, jnp.float32), jnp.asarray(rdx, jnp.float32),
+      jnp.asarray(rdy, jnp.float32))
+
+    if cfg.postproc_blur:
+        # pad rows must not source blur taps (nor widen the per-frame
+        # reach that picks the kernel variant): zbuf 1.0 = radius 0,
+        # exactly like _dof_blur_mesh's own padding
+        rows = jnp.arange(hp2, dtype=jnp.int32)[:, None]
+        zb1 = jnp.where(rows < h, zbuf, jnp.float32(1.0))
+        fb = _dof_blur_mesh(fb[None], zb1[None], cfg, mesh, (),
+                            axes, band=Rloc, real_h=h)[0]
+    return fb, zbuf
+
+
 def render_frame_sharded(world, meta: W.WorldMeta, cfg: RenderConfig,
                          origin, rayb, rdx, rdy, sec, mesh: Mesh):
-    """Single-camera multi-chip render (fast mode).  See
-    _render_frame_mesh_jit."""
+    """Single-camera multi-chip render (fast mode).  Row-banded 2D
+    layout when the frame is tall enough (_band_rows; no relayout
+    collectives), else the flat block-major path
+    (_render_frame_mesh_jit)."""
     if cfg.parity:
         raise ValueError(
             "render_frame_sharded is fast-mode only; parity-exact "
             "frames go through render.frame.render_frame")
     world = jax.device_put(world, NamedSharding(mesh, P()))
+    if _band_rows(cfg, mesh.size):
+        fb, zbuf = _render_frame_mesh_banded_jit(
+            world, meta, cfg, mesh, jnp.asarray(origin),
+            jnp.asarray(rayb), jnp.asarray(rdx), jnp.asarray(rdy),
+            jnp.float32(sec))
+        return fb[:cfg.height], zbuf[:cfg.height]
     return _render_frame_mesh_jit(
         world, meta, cfg, mesh, jnp.asarray(origin), jnp.asarray(rayb),
         jnp.asarray(rdx), jnp.asarray(rdy), jnp.float32(sec))

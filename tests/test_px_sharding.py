@@ -137,6 +137,46 @@ def test_mesh_factorizations_agree(setup, fact):
 
 
 @needs_mesh
+def test_banded_frame_trace_has_no_collectives(setup):
+    """The row-banded single-frame path (the default when the frame is
+    tall enough, sharding._band_rows) must trace with ZERO cross-device
+    collectives when blur is off: every device generates, traces and
+    untiles its own contiguous row band locally — the whole point of
+    banding over the flat block-major path, whose block-major ->
+    row-major relayout costs ~5.4 frame equivalents of all-gathers
+    (tools/mesh_collectives.py).  With blur on, the only
+    unconditionally-executed collectives are the halo ppermutes."""
+    from pwnfps_tpu.parallel.sharding import (_band_rows,
+                                              _render_frame_mesh_banded_jit)
+    world, meta, lv = setup
+    mesh = make_mesh(2, 4, jax.devices()[:8])
+    cam = _cams(lv, 1)[0]
+    origin, rayb, rdx, rdy = camera_vectors(cam, 96, 64)
+    world_d = jax.device_put(world, NamedSharding(mesh, P()))
+    for blur, want in ((0, False), (1, True)):
+        cfg = RenderConfig(width=96, height=64, parity=False,
+                           postproc_blur=blur)
+        assert _band_rows(cfg, mesh.size) == 8
+        hlo = _render_frame_mesh_banded_jit.lower(
+            world_d, meta, cfg, mesh, jnp.asarray(origin),
+            jnp.asarray(rayb), jnp.asarray(rdx), jnp.asarray(rdy),
+            jnp.float32(0.25)).compile().as_text()
+        has_gather = "all-gather" in hlo
+        has_permute = "collective-permute" in hlo
+        if blur == 0:
+            assert not has_gather and not has_permute, (
+                "banded blur-off trace must be collective-free")
+            assert "all-reduce" not in hlo and "all-to-all" not in hlo
+        else:
+            assert has_permute, "blur-on must halo-exchange via ppermute"
+            # all-gathers may exist only inside the never-taken
+            # beyond-reach fallback branch (a called conditional
+            # computation), never in the entry computation
+            entry = hlo.split("ENTRY")[-1]
+            assert "all-gather" not in entry
+
+
+@needs_mesh
 def test_single_frame_spans_mesh(setup):
     """ONE camera split over all 8 devices == the unsharded
     render_frame, bit-exact (the reference's scanline-split analogue,

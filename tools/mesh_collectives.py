@@ -70,17 +70,70 @@ def _shape_bytes(line):
     return total
 
 
-def inventory(hlo_text):
-    counts = {}
+def _parse_computations(hlo_text):
+    """-> (comp -> [lines], comp -> [(callee, via_conditional)], entry)."""
+    bodies, edges, entry = {}, {}, None
+    cur = None
     for line in hlo_text.splitlines():
+        # computation header: unindented `[ENTRY] %name (params) -> ty {`
+        # (params/return types may contain nested parens/tuples)
+        m = re.match(r"(ENTRY\s+)?%?([\w.\-]+)\s*\(", line)
+        if (m and not line.startswith(" ") and "->" in line
+                and line.rstrip().endswith("{")):
+            cur = m.group(2)
+            bodies[cur] = []
+            edges[cur] = []
+            if m.group(1):
+                entry = cur
+            continue
+        if cur is None:
+            continue
         ls = line.strip()
-        for c in COLLECTIVES:
-            if re.search(rf"= .*\b{c}\b", ls) or \
-                    re.match(rf"\S+ = \S+ {c}\(", ls):
-                b = _shape_bytes(ls)
-                k = counts.setdefault(c, {"count": 0, "bytes": 0})
-                k["count"] += 1
-                k["bytes"] += b
+        if ls == "}":
+            cur = None
+            continue
+        bodies[cur].append(ls)
+        is_cond = bool(re.search(r"=\s*\S*\s*conditional\(", ls))
+        for attr in ("to_apply", "calls", "body", "condition",
+                     "true_computation", "false_computation",
+                     "branch_computations"):
+            for mm in re.finditer(rf"{attr}=\{{?([^,)}}]+(?:,\s*[^,)}}]+)*)",
+                                  ls):
+                for name in re.findall(r"%([\w.\-]+)", mm.group(1)):
+                    edges[cur].append((name, is_cond and attr in (
+                        "true_computation", "false_computation",
+                        "branch_computations")))
+    return bodies, edges, entry
+
+
+def inventory(hlo_text):
+    """Count collectives, split into collectives that execute on EVERY
+    frame ('unconditional': reachable from ENTRY without passing
+    through a conditional branch) vs those compiled but only taken
+    inside lax.cond branches ('conditional': e.g. the beyond-reach
+    DoF fallback, never taken at flagship depths)."""
+    bodies, edges, entry = _parse_computations(hlo_text)
+    uncond = set()
+    stack = [entry] if entry else list(bodies)
+    while stack:
+        c = stack.pop()
+        if c in uncond or c not in bodies:
+            continue
+        uncond.add(c)
+        for callee, via_cond in edges.get(c, ()):
+            if not via_cond:
+                stack.append(callee)
+    counts = {}
+    for comp, lines in bodies.items():
+        bucket = "" if comp in uncond else "cond_"
+        for ls in lines:
+            for c in COLLECTIVES:
+                if re.search(rf"= .*\b{c}\b", ls) or \
+                        re.match(rf"\S+ = \S+ {c}\(", ls):
+                    k = counts.setdefault(bucket + c,
+                                          {"count": 0, "bytes": 0})
+                    k["count"] += 1
+                    k["bytes"] += _shape_bytes(ls)
     return counts
 
 
@@ -119,7 +172,23 @@ def main() -> int:
     hlo = lowered.compile().as_text()
     res["frame_sharded"] = inventory(hlo)
 
-    # --- multicam path (4 cams on the (2,4) mesh) -------------------
+    # --- row-banded single-frame path (the default; cfg.mesh_bands) -
+    # blur on: the halo ppermutes + the never-taken beyond-reach
+    # fallback branch (compiled, not executed at flagship depths);
+    # blur off: must be collective-FREE (the test pin:
+    # tests/test_px_sharding.py::test_banded_frame_trace_has_no_collectives)
+    for key, blur in (("frame_banded", 1), ("frame_banded_noblur", 0)):
+        cfgb = RenderConfig(width=w, height=h, parity=False,
+                            postproc_blur=blur)
+        if S._band_rows(cfgb, mesh.size):
+            lowered = S._render_frame_mesh_banded_jit.lower(
+                world_d, meta, cfgb, mesh, jnp.asarray(origin),
+                jnp.asarray(rayb), jnp.asarray(rdx), jnp.asarray(rdy),
+                jnp.float32(0.25))
+            res[key] = inventory(lowered.compile().as_text())
+
+    # --- multicam path (4 cams on the (2,4) mesh; banded by default,
+    # flat when mesh_bands=False) ------------------------------------
     cams = np.stack([cam] * 4).astype(np.float32)
     xs = np.arange(w, dtype=np.uint32)
     ys = np.arange(h, dtype=np.uint32)
@@ -132,20 +201,39 @@ def main() -> int:
     hlo2 = lowered.compile().as_text()
     res["cams_mesh"] = inventory(hlo2)
 
+    cfg_flat = RenderConfig(width=w, height=h, parity=False,
+                            postproc_blur=1, mesh_bands=False)
+    lowered = S._render_cams_mesh_jit.lower(
+        world_d, meta, cfg_flat, mesh, cams_d, seeds, np.float32(0.25))
+    res["cams_mesh_flat"] = inventory(lowered.compile().as_text())
+
     frame_bytes = w * h * 4
-    for name in ("frame_sharded", "cams_mesh"):
+    for name in ("frame_sharded", "frame_banded", "frame_banded_noblur",
+                 "cams_mesh", "cams_mesh_flat"):
+        if name not in res:
+            continue
         print(f"== {name} @ {w}x{h} on the 2x4 mesh")
         inv = res[name]
         if not inv:
             print("   (no collectives)")
-        tot = 0
+        tot = cond_tot = 0
         for c, d in sorted(inv.items()):
-            print(f"   {c:22s} x{d['count']:3d}  {d['bytes']:>12,} B")
-            tot += d["bytes"]
-        print(f"   total collective payload {tot:,} B "
+            tag = "[cond-only] " if c.startswith("cond_") else ""
+            print(f"   {tag}{c.removeprefix('cond_'):22s} "
+                  f"x{d['count']:3d}  {d['bytes']:>12,} B")
+            if c.startswith("cond_"):
+                cond_tot += d["bytes"]
+            else:
+                tot += d["bytes"]
+        print(f"   per-frame collective payload {tot:,} B "
               f"({tot / frame_bytes:.2f} frame equivalents; "
-              f"frame = {frame_bytes:,} B)")
+              f"frame = {frame_bytes:,} B)"
+              + (f"; +{cond_tot:,} B in conditional branches (one "
+                 f"DoF variant branch - its halo ppermutes - executes "
+                 f"per frame; the beyond-reach replication fallback "
+                 f"never does at flagship depths)" if cond_tot else ""))
         res[name]["total_bytes"] = tot
+        res[name]["cond_only_bytes"] = cond_tot
         res[name]["frame_equivalents"] = round(tot / frame_bytes, 3)
     if args.json:
         with open(args.json, "w") as fh:
