@@ -137,6 +137,45 @@ def test_mesh_factorizations_agree(setup, fact):
 
 
 @needs_mesh
+def test_banded_frame_pad_rows_bitexact(setup):
+    """Banded path with a frame height NOT divisible by the band
+    quantum (like real 1080p: 1080 rows over 8 devices pads to 1088):
+    h=72 pads to 128 over 8 row-shards, so the last devices trace
+    mostly dead pad rays and the blur must ignore pad rows (zbuf 1.0
+    = zero tap radius).  Must stay bit-equal to the unsharded render."""
+    from pwnfps_tpu.parallel.sharding import _band_rows
+    world, meta, lv = setup
+    mesh = make_mesh(2, 4, jax.devices()[:8])
+    cfg = RenderConfig(width=96, height=72, parity=False)
+    assert _band_rows(cfg, mesh.size) * mesh.size > 72  # pad rows real
+    cam = _cams(lv, 1)[0]
+    origin, rayb, rdx, rdy = camera_vectors(cam, 96, 72)
+    fb_s, zb_s = render_frame_sharded(world, meta, cfg, origin, rayb,
+                                      rdx, rdy, 0.25, mesh)
+    fb_u, zb_u = render_frame(world, meta, cfg, jnp.asarray(origin),
+                              jnp.asarray(rayb), jnp.asarray(rdx),
+                              jnp.asarray(rdy), np.float32(0.25))
+    assert np.array_equal(np.asarray(fb_s), np.asarray(fb_u))
+    assert np.array_equal(np.asarray(zb_s), np.asarray(zb_u))
+
+
+@needs_mesh
+def test_banded_cams_pad_rows_bitexact(setup):
+    """Multicam banded path with pad rows (h=72 over 4 px-shards pads
+    to 96): cam x px banded render == single-device render, bit-exact,
+    blur on."""
+    world, meta, lv = setup
+    mesh = make_mesh(2, 4, jax.devices()[:8])
+    cfg = RenderConfig(width=96, height=72, parity=False)
+    cams = _cams(lv, 4)
+    fb_mesh = render_cameras(world, meta, cfg, cams, 0.25, mesh)
+    mesh1 = make_mesh(1, 1, jax.devices()[:1])
+    fb_one = render_cameras(world, meta, cfg, cams, 0.25, mesh1)
+    assert np.array_equal(fb_mesh, fb_one), (
+        f"{(fb_mesh != fb_one).sum()} pixels differ")
+
+
+@needs_mesh
 def test_banded_frame_trace_has_no_collectives(setup):
     """The row-banded single-frame path (the default when the frame is
     tall enough, sharding._band_rows) must trace with ZERO cross-device
