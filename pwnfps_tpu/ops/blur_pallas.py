@@ -70,7 +70,7 @@ def _avg_i32(a, b):
     return (a | b) - (_srl(a ^ b, 1) & np.int32(0x7F7F7F7F))
 
 
-def _blur_kernel(h, w, hp, wp, fstr, fh, G, pairs, hofs, nloc, dyn,
+def _blur_kernel(h, w, hp, wp, fstr, fh, G, pairs, hofs, nloc, dyn, v2,
                  zb_ref, tab_ref, *refs):
     """One grid step blurs BR output rows.  The candidate source rows
     arrive as G 8-row aligned block views (BlockSpec index maps
@@ -106,7 +106,19 @@ def _blur_kernel(h, w, hp, wp, fstr, fh, G, pairs, hofs, nloc, dyn,
     group row labels all use camera-local rows, so the output is
     bit-identical to the same rows of the full-frame kernel; halo rows
     outside the frame are never tapped (tap rows clamp to [0, fh-1])
-    so their zero-fill content is irrelevant."""
+    so their zero-fill content is irrelevant.
+
+    v2 (PWNFPS_BLUR_V2) reshapes the scan's bookkeeping without moving
+    a single tap: (a) each tap's two window keys merge into ONE
+    key/lane-offset plane pair selected by which rolled window covers
+    the tap (a tap covered by both windows reads the same source pixel
+    from either, so the pick is value-identical), cutting the inner
+    loop from 6 to 5 vector ops per (row, chunk, tap); (b) the
+    per-tap .min()/.max() row/column reductions fold into elementwise
+    min/max trees with ONE cross-lane reduction each (2 instead of 10
+    per block near, 4 instead of 18 wide) - the span-fetch ablation
+    priced cross-lane reductions at ~0.2us each on this chip.  Both
+    gates and outputs are bit-identical to v1 by construction."""
     band = hofs is not None
     if band:
         y0_ref = refs[0]
@@ -161,8 +173,11 @@ def _blur_kernel(h, w, hp, wp, fstr, fh, G, pairs, hofs, nloc, dyn,
     # offset is (txi+r) & 127 and its key chunk id (txi+r) >> 7
     keys = [[], []]     # [pair][tap] -> (key_a, key_b) planes
     los = [[], []]      # [pair][tap] -> (lo_a, lo_b) planes
+    ubs = [[], []]      # v2: [pair][tap] -> use-window-b plane
     tymins, tymaxs = [], []
     cmins, cmaxs = [], []
+    tylo = tyhi = clo = chi = None      # v2 elementwise trees
+    oc = _srl(xs, 7)    # own 128-chunk id (v2 window pick)
     for i in range(4):
         stx = (s1 * tab_ref[i:i + 1, :]
                + tab_ref[4 + i:5 + i, :]) & np.int32(0x7FFFFFFF)
@@ -183,23 +198,48 @@ def _blur_kernel(h, w, hp, wp, fstr, fh, G, pairs, hofs, nloc, dyn,
             lb = txi - np.int32(roll)
             lb = jnp.where(lb < 0, lb + np.int32(wp), lb)
             # joint (row, lane-chunk) key; 32 > any chunk count we see
-            keys[p].append((tyi * np.int32(32) + _srl(la, 7),
-                            tyi * np.int32(32) + _srl(lb, 7)))
-            los[p].append((la & np.int32(127), lb & np.int32(127)))
-        tymins.append(tyi.min())
-        tymaxs.append(tyi.max())
-        mrel = txi - cbase
-        cmins.append(mrel.min())
-        cmaxs.append(mrel.max())
+            ka = tyi * np.int32(32) + _srl(la, 7)
+            kb = tyi * np.int32(32) + _srl(lb, 7)
+            if v2:
+                # merged window: window a covers the tap iff its
+                # rolled position stays in the lane's own chunk; taps
+                # both windows cover read the same source pixel from
+                # either, so the pick is value-identical
+                ub = _srl(la, 7) != oc
+                keys[p].append(jnp.where(ub, kb, ka))
+                los[p].append(jnp.where(ub, lb, la) & np.int32(127))
+                ubs[p].append(ub)
+            else:
+                keys[p].append((ka, kb))
+                los[p].append((la & np.int32(127), lb & np.int32(127)))
+        if v2:
+            tylo = tyi if tylo is None else jnp.minimum(tylo, tyi)
+            tyhi = tyi if tyhi is None else jnp.maximum(tyhi, tyi)
+            if pairs == 2:
+                mrel = txi - cbase
+                clo = mrel if clo is None else jnp.minimum(clo, mrel)
+                chi = mrel if chi is None else jnp.maximum(chi, mrel)
+        else:
+            tymins.append(tyi.min())
+            tymaxs.append(tyi.max())
+            mrel = txi - cbase
+            cmins.append(mrel.min())
+            cmaxs.append(mrel.max())
     # tap row band of the block: taps reach +-fstr*(z-1) rows (a few,
     # typically), so most of the G halo groups skip entirely
-    rmin = jnp.min(jnp.stack(tymins))
-    rmax = jnp.max(jnp.stack(tymaxs))
+    if v2:
+        rmin, rmax = tylo.min(), tyhi.max()
+    else:
+        rmin = jnp.min(jnp.stack(tymins))
+        rmax = jnp.max(jnp.stack(tymaxs))
     if pairs == 2:
         # inner window pair covers source offsets [-16, 144) of each
         # chunk base; blocks whose taps stay inside never run the outer
-        cmin = jnp.min(jnp.stack(cmins))
-        cmax = jnp.max(jnp.stack(cmaxs))
+        if v2:
+            cmin, cmax = clo.min(), chi.max()
+        else:
+            cmin = jnp.min(jnp.stack(cmins))
+            cmax = jnp.max(jnp.stack(cmaxs))
         outer_cols = (cmin < np.int32(-16)) | (cmax >= np.int32(144))
 
     if band:
@@ -241,10 +281,15 @@ def _blur_kernel(h, w, hp, wp, fstr, fh, G, pairs, hofs, nloc, dyn,
                 [grp[:, roll:], grp[:, :roll]], axis=1)
             for c in range(nc):
                 sl = slice(c * 128, (c + 1) * 128)
-                ka_t = [k[0][:, sl] for k in keys[p]]
-                kb_t = [k[1][:, sl] for k in keys[p]]
-                la_t = [lo[0][:, sl] for lo in los[p]]
-                lb_t = [lo[1][:, sl] for lo in los[p]]
+                if v2:
+                    mk_t = [k[:, sl] for k in keys[p]]
+                    ml_t = [lo[:, sl] for lo in los[p]]
+                    ub_t = [u[:, sl] for u in ubs[p]]
+                else:
+                    ka_t = [k[0][:, sl] for k in keys[p]]
+                    kb_t = [k[1][:, sl] for k in keys[p]]
+                    la_t = [lo[0][:, sl] for lo in los[p]]
+                    lb_t = [lo[1][:, sl] for lo in los[p]]
                 acc = [scr[t][:, sl] for t in range(4)]
                 rega = ra[:, sl]
                 regb = rb[:, sl]
@@ -256,14 +301,24 @@ def _blur_kernel(h, w, hp, wp, fstr, fh, G, pairs, hofs, nloc, dyn,
                     key = (gbase[g] + np.int32(r8)) * np.int32(32) \
                         + np.int32(c)
                     for t in range(4):
-                        cand = jnp.take_along_axis(cha, la_t[t],
-                                                   axis=1)
-                        acc[t] = jnp.where(ka_t[t] == key, cand,
-                                           acc[t])
-                        cand = jnp.take_along_axis(chb, lb_t[t],
-                                                   axis=1)
-                        acc[t] = jnp.where(kb_t[t] == key, cand,
-                                           acc[t])
+                        if v2:
+                            cand = jnp.where(
+                                ub_t[t],
+                                jnp.take_along_axis(chb, ml_t[t],
+                                                    axis=1),
+                                jnp.take_along_axis(cha, ml_t[t],
+                                                    axis=1))
+                            acc[t] = jnp.where(mk_t[t] == key, cand,
+                                               acc[t])
+                        else:
+                            cand = jnp.take_along_axis(cha, la_t[t],
+                                                       axis=1)
+                            acc[t] = jnp.where(ka_t[t] == key, cand,
+                                               acc[t])
+                            cand = jnp.take_along_axis(chb, lb_t[t],
+                                                       axis=1)
+                            acc[t] = jnp.where(kb_t[t] == key, cand,
+                                               acc[t])
                 for t in range(4):
                     scr[t][:, sl] = acc[t]
         return scan
@@ -290,8 +345,15 @@ def _tap_tables(w: int, wp: int):
         [pack(akx), pack(ckx), pack(aky), pack(cky)], axis=0))
 
 
-@partial(jax.jit, static_argnames=("fh", "wide"))
-def dof_blur_band_pallas(fb_pad, zb, y0, fh: int, wide: bool):
+def _v2_env(v2):
+    if v2 is None:
+        return os.environ.get("PWNFPS_BLUR_V2", "0") not in ("0", "")
+    return bool(v2)
+
+
+@partial(jax.jit, static_argnames=("fh", "wide", "v2"))
+def dof_blur_band_pallas(fb_pad, zb, y0, fh: int, wide: bool,
+                         v2: bool | None = None):
     """Band DoF blur, Pallas halo kernel — ONE pass.
 
     The multi-chip blur body (parallel.sharding._dof_blur_mesh): each
@@ -330,7 +392,7 @@ def dof_blur_band_pallas(fb_pad, zb, y0, fh: int, wide: bool):
     npadblk = hbH // BR
     hb8 = H // BR
     kern = partial(_blur_kernel, 0, w, 0, wp, fstr, fh, G, pairs, H, hb,
-                   False)
+                   False, _v2_env(v2))
     # group g of local block b fetches this camera's padded block
     # b + H/8 - G/2 + g (clipped to the camera's own padded region);
     # must mirror the gbase labels in _blur_kernel's band branch
@@ -356,17 +418,18 @@ def dof_blur_band_pallas(fb_pad, zb, y0, fh: int, wide: bool):
         scratch_shapes=[pltpu.VMEM((BR, wp), jnp.int32)] * 4,
     )
     o = call(zbs, tab, y0a, *([fbs] * G))[:, :w]
-    xs = jnp.arange(w, dtype=jnp.int32)
-    keep = xs[None, :] < 4 * (w // 4)   # last w%4 pixels untouched
-    ctr = fb_pad[:, H:H + hb, :].reshape(cl * hb, w)
-    o = jnp.where(keep, jax.lax.bitcast_convert_type(o, jnp.uint32),
-                  ctr)
+    o = jax.lax.bitcast_convert_type(o, jnp.uint32)
+    if w % 4:                           # last w%4 pixels untouched
+        xs = jnp.arange(w, dtype=jnp.int32)
+        keep = xs[None, :] < 4 * (w // 4)
+        ctr = fb_pad[:, H:H + hb, :].reshape(cl * hb, w)
+        o = jnp.where(keep, o, ctr)
     return o.reshape(cl, hb, w)
 
 
-@partial(jax.jit, static_argnames=("passes", "frame_h", "dma"))
+@partial(jax.jit, static_argnames=("passes", "frame_h", "dma", "v2"))
 def dof_blur_auto(fb, zbuf, passes: int = 1, frame_h: int | None = None,
-                  dma: str | None = None):
+                  dma: str | None = None, v2: bool | None = None):
     """Exact DoF blur, Pallas halo kernel when depth permits.
 
     fb: [h,w] uint32 BGRA, zbuf: [h,w] f32 -> blurred fb (bit-identical
@@ -384,14 +447,17 @@ def dof_blur_auto(fb, zbuf, passes: int = 1, frame_h: int | None = None,
     tab = _tap_tables(w, wp)
 
     zbp = jnp.pad(zbuf, ((0, hp - h), (0, wp - w)), constant_values=1.0)
-    xs = jnp.arange(w, dtype=jnp.int32)
-    keep = xs[None, :] < 4 * (w // 4)   # last w%4 pixels untouched
+    if w % 4:                           # last w%4 pixels untouched
+        xs = jnp.arange(w, dtype=jnp.int32)
+        keep = xs[None, :] < 4 * (w // 4)
 
     nblk = hp // BR
 
+    _v2 = _v2_env(v2)
+
     def build_call(G, pairs, dyn=False):
         kern = partial(_blur_kernel, h, w, hp, wp, fstr, fh, G, pairs,
-                       None, None, dyn)
+                       None, None, dyn, _v2)
         if dyn:
             # fb passed ONCE, staying in HBM; halo groups DMA'd into
             # VMEM scratch only when their row band fires
@@ -425,9 +491,8 @@ def dof_blur_auto(fb, zbuf, passes: int = 1, frame_h: int | None = None,
                 fip = jnp.pad(fi, ((0, hp - h), (0, wp - w)))
                 fbs = (fip,) if dyn else (fip,) * G
                 o = call(zbp, tab, *fbs)[:h, :w]
-                f = jnp.where(keep,
-                              jax.lax.bitcast_convert_type(o, f.dtype),
-                              f)
+                o = jax.lax.bitcast_convert_type(o, f.dtype)
+                f = jnp.where(keep, o, f) if w % 4 else o
             return f
         return passes_fn
 

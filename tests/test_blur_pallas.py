@@ -69,6 +69,24 @@ def test_blur_pallas_dma_bitexact(h, w, zmax):
         f"{np.argwhere(~eq)[0]}")
 
 
+@pytest.mark.parametrize("h,w,zmax", [
+    (48, 256, 7.0),      # near variant: merged single-window scan
+    (64, 130, 5.0),      # w%128, w%4 tails: wrapped rolls cross chunks
+    (240, 320, 80.0),    # wide variant: outer-pair merge fires
+    (64, 256, 370.0),    # wide reach limit
+])
+def test_blur_pallas_v2_bitexact(h, w, zmax):
+    """PWNFPS_BLUR_V2 scan (merged window keys + single-reduction
+    row/col bands) is bit-identical to the XLA path."""
+    fb, z = _frame(h, w, zmax, seed=h * 31 + w)
+    got = _run(lambda f, d, p: dof_blur_auto(f, d, p, v2=True), fb, z)
+    want = np.asarray(jax.jit(dof_blur)(fb, z))
+    eq = got == want
+    assert eq.all(), (
+        f"{(~eq).sum()}/{eq.size} px differ, first at "
+        f"{np.argwhere(~eq)[0]}")
+
+
 def test_blur_pallas_multipass():
     fb, z = _frame(56, 256, 6.0, seed=3)
     got = _run(dof_blur_auto, fb, z, passes=2)

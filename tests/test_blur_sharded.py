@@ -78,8 +78,11 @@ def test_dof_blur_band_matches_full(h, w, zmax, hb, H):
         assert (got == want[y0:y0 + hb]).all(), f"band y0={y0} differs"
 
 
-@pytest.mark.parametrize("zmax,wide", [(4.0, False), (120.0, True)])
-def test_dof_blur_band_pallas_matches_full(zmax, wide):
+@pytest.mark.parametrize("zmax,wide,v2", [
+    (4.0, False, False), (120.0, True, False),
+    (4.0, False, True), (120.0, True, True),
+])
+def test_dof_blur_band_pallas_matches_full(zmax, wide, v2):
     """Pallas band kernel (near and wide variants) == the same rows of
     dof_blur, bit-exact, stacked cameras included."""
     from jax.experimental.pallas import tpu as pltpu
@@ -92,7 +95,7 @@ def test_dof_blur_band_pallas_matches_full(zmax, wide):
         fp = jnp.stack([_pad_band(fb, y0, hb, H) for fb, _ in frames])
         zb = jnp.stack([z[y0:y0 + hb] for _, z in frames])
         fn = lambda: np.asarray(dof_blur_band_pallas(
-            fp, zb, jnp.int32(y0), h, wide))
+            fp, zb, jnp.int32(y0), h, wide, v2=v2))
         if on_tpu:
             got = fn()
         else:
