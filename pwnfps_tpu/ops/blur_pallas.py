@@ -346,8 +346,16 @@ def _tap_tables(w: int, wp: int):
 
 
 def _v2_env(v2):
+    # None = per-variant default (near: v1, wide: v2 — the chip A/B's
+    # winner on each side: r4 queue F measured v2 -2.0 ms on the
+    # stress wide variant and neutral-within-jitter on the flagship
+    # near variant, docs/PERFORMANCE.md "Blur scan v2").  Env forces
+    # both variants for A/Bs.
     if v2 is None:
-        return os.environ.get("PWNFPS_BLUR_V2", "0") not in ("0", "")
+        e = os.environ.get("PWNFPS_BLUR_V2", "")
+        if e == "":
+            return None
+        return e not in ("0",)
     return bool(v2)
 
 
@@ -391,8 +399,9 @@ def dof_blur_band_pallas(fb_pad, zb, y0, fh: int, wide: bool,
     nblk_loc = hb // BR
     npadblk = hbH // BR
     hb8 = H // BR
+    _v2 = _v2_env(v2)
     kern = partial(_blur_kernel, 0, w, 0, wp, fstr, fh, G, pairs, H, hb,
-                   False, _v2_env(v2))
+                   False, _v2 if _v2 is not None else wide)
     # group g of local block b fetches this camera's padded block
     # b + H/8 - G/2 + g (clipped to the camera's own padded region);
     # must mirror the gbase labels in _blur_kernel's band branch
@@ -456,8 +465,9 @@ def dof_blur_auto(fb, zbuf, passes: int = 1, frame_h: int | None = None,
     _v2 = _v2_env(v2)
 
     def build_call(G, pairs, dyn=False):
+        use_v2 = _v2 if _v2 is not None else (pairs == 2)
         kern = partial(_blur_kernel, h, w, hp, wp, fstr, fh, G, pairs,
-                       None, None, dyn, _v2)
+                       None, None, dyn, use_v2)
         if dyn:
             # fb passed ONCE, staying in HBM; halo groups DMA'd into
             # VMEM scratch only when their row band fires

@@ -69,17 +69,22 @@ def test_blur_pallas_dma_bitexact(h, w, zmax):
         f"{np.argwhere(~eq)[0]}")
 
 
+@pytest.mark.parametrize("v2", [True, False])
 @pytest.mark.parametrize("h,w,zmax", [
     (48, 256, 7.0),      # near variant: merged single-window scan
     (64, 130, 5.0),      # w%128, w%4 tails: wrapped rolls cross chunks
     (240, 320, 80.0),    # wide variant: outer-pair merge fires
     (64, 256, 370.0),    # wide reach limit
 ])
-def test_blur_pallas_v2_bitexact(h, w, zmax):
-    """PWNFPS_BLUR_V2 scan (merged window keys + single-reduction
-    row/col bands) is bit-identical to the XLA path."""
+def test_blur_pallas_v2_bitexact(h, w, zmax, v2):
+    """Both scan generations (PWNFPS_BLUR_V2 merged window keys +
+    single-reduction row/col bands, and the v1 two-window scan) are
+    bit-identical to the XLA path when forced on either variant.  The
+    default (v2=None) is per-variant — near v1, wide v2, the chip
+    A/B's winner on each side — and is covered by the unforced tests
+    above."""
     fb, z = _frame(h, w, zmax, seed=h * 31 + w)
-    got = _run(lambda f, d, p: dof_blur_auto(f, d, p, v2=True), fb, z)
+    got = _run(lambda f, d, p: dof_blur_auto(f, d, p, v2=v2), fb, z)
     want = np.asarray(jax.jit(dof_blur)(fb, z))
     eq = got == want
     assert eq.all(), (
