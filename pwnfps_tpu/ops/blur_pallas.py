@@ -70,8 +70,8 @@ def _avg_i32(a, b):
     return (a | b) - (_srl(a ^ b, 1) & np.int32(0x7F7F7F7F))
 
 
-def _blur_kernel(h, w, hp, wp, fstr, fh, G, pairs, hofs, nloc, dyn, v2,
-                 zb_ref, tab_ref, *refs):
+def _blur_kernel(h, w, hp, wp, fstr, fh, G, pairs, hofs, nloc, dyn, ring,
+                 v2, zb_ref, tab_ref, *refs):
     """One grid step blurs BR output rows.  The candidate source rows
     arrive as G 8-row aligned block views (BlockSpec index maps
     i-G/2..i+G/2-1, clipped at the frame edges), so block fetches stay
@@ -134,12 +134,36 @@ def _blur_kernel(h, w, hp, wp, fstr, fh, G, pairs, hofs, nloc, dyn, v2,
         scr = refs[2:6]
         grps = refs[6:6 + G]
         sems = refs[6 + G]
+    elif ring:
+        # ring mode (PWNFPS_BLUR_RING): ONE fetched block per grid
+        # step instead of G overlapping halo-group fetches.  The grid
+        # runs G//2 extra steps; step j fetches frame block
+        # clip(j, 0, nblk-1) into slot j%G of a VMEM ring that
+        # PERSISTS across grid steps, and computes output block
+        # i = j - G//2 from the ring (warm-up steps j < G//2 write a
+        # throwaway block 0 that step G//2 overwrites - out index maps
+        # repeat, sequential grid order makes the last write win).
+        # Group g of block i needs frame block clip(i - G//2 + g) =
+        # clip(j - (G-1) + g), fetched at step s = max(j-(G-1)+g, 0)
+        # (bf(s) = clip(s) equals it at both edges), which still sits
+        # in slot s % G because only steps s+G > j evict it.  Same
+        # taps, keys and values as the BlockSpec variant - bit-exact;
+        # only the data movement changes (G DMAs/block -> 1).
+        in_ref = refs[0]
+        out_ref = refs[1]
+        ringbuf = refs[2]
+        scr = refs[3:7]
     else:
         grps = refs[:G]
         out_ref = refs[G]
         scr = refs[G + 1:G + 5]
     nc = wp // 128
     pid = pl.program_id(0)
+    if ring:
+        jstep = pid
+        pid = jnp.maximum(jstep - np.int32(G // 2), 0)
+        ringbuf[pl.ds((jstep % np.int32(G)) * np.int32(BR), BR), :] = \
+            in_ref[...]
     if band:
         nblk_loc = nloc // BR
         npadblk = nblk_loc + 2 * (hofs // BR)
@@ -274,7 +298,12 @@ def _blur_kernel(h, w, hp, wp, fstr, fh, G, pairs, hofs, nloc, dyn, v2,
                 pltpu.make_async_copy(
                     fb_hbm.at[pl.ds(gbase[g], BR), :],
                     grps[g], sems.at[g]).wait()
-            grp = grps[g][...]
+            if ring:
+                slot = jnp.maximum(jstep - np.int32(G - 1) + np.int32(g),
+                                   0) % np.int32(G)
+                grp = ringbuf[pl.ds(slot * np.int32(BR), BR), :]
+            else:
+                grp = grps[g][...]
             ra = jnp.concatenate(
                 [grp[:, wp - roll:], grp[:, :wp - roll]], axis=1)
             rb = jnp.concatenate(
@@ -401,7 +430,7 @@ def dof_blur_band_pallas(fb_pad, zb, y0, fh: int, wide: bool,
     hb8 = H // BR
     _v2 = _v2_env(v2)
     kern = partial(_blur_kernel, 0, w, 0, wp, fstr, fh, G, pairs, H, hb,
-                   False, _v2 if _v2 is not None else wide)
+                   False, False, _v2 if _v2 is not None else wide)
     # group g of local block b fetches this camera's padded block
     # b + H/8 - G/2 + g (clipped to the camera's own padded region);
     # must mirror the gbase labels in _blur_kernel's band branch
@@ -436,9 +465,11 @@ def dof_blur_band_pallas(fb_pad, zb, y0, fh: int, wide: bool,
     return o.reshape(cl, hb, w)
 
 
-@partial(jax.jit, static_argnames=("passes", "frame_h", "dma", "v2"))
+@partial(jax.jit, static_argnames=("passes", "frame_h", "dma", "v2",
+                                   "ring"))
 def dof_blur_auto(fb, zbuf, passes: int = 1, frame_h: int | None = None,
-                  dma: str | None = None, v2: bool | None = None):
+                  dma: str | None = None, v2: bool | None = None,
+                  ring: bool | None = None):
     """Exact DoF blur, Pallas halo kernel when depth permits.
 
     fb: [h,w] uint32 BGRA, zbuf: [h,w] f32 -> blurred fb (bit-identical
@@ -464,16 +495,28 @@ def dof_blur_auto(fb, zbuf, passes: int = 1, frame_h: int | None = None,
 
     _v2 = _v2_env(v2)
 
-    def build_call(G, pairs, dyn=False):
+    def build_call(G, pairs, dyn=False, ring=False):
         use_v2 = _v2 if _v2 is not None else (pairs == 2)
         kern = partial(_blur_kernel, h, w, hp, wp, fstr, fh, G, pairs,
-                       None, None, dyn, use_v2)
+                       None, None, dyn, ring, use_v2)
+        gh = G // 2
         if dyn:
             # fb passed ONCE, staying in HBM; halo groups DMA'd into
             # VMEM scratch only when their row band fires
             fb_specs = [pl.BlockSpec(memory_space=pl.ANY)]
             scratch = ([pltpu.VMEM((BR, wp), jnp.int32)] * (4 + G)
                        + [pltpu.SemaphoreType.DMA((G,))])
+        elif ring:
+            # one NEW frame block per grid step, kept in a VMEM ring
+            # that persists across steps (see _blur_kernel ring notes);
+            # the grid runs G//2 warm-up steps whose output writes
+            # step G//2 overwrites
+            fb_specs = [
+                pl.BlockSpec((BR, wp),
+                             lambda j: (jnp.clip(j, 0, nblk - 1), 0))
+            ]
+            scratch = ([pltpu.VMEM((G * BR, wp), jnp.int32)]
+                       + [pltpu.VMEM((BR, wp), jnp.int32)] * 4)
         else:
             fb_specs = [
                 pl.BlockSpec((BR, wp),
@@ -483,14 +526,20 @@ def dof_blur_auto(fb, zbuf, passes: int = 1, frame_h: int | None = None,
                 for g in range(G)
             ]
             scratch = [pltpu.VMEM((BR, wp), jnp.int32)] * 4
+        if ring:
+            def omap(j):
+                return (jnp.maximum(j - gh, 0), 0)
+        else:
+            def omap(i):
+                return (i, 0)
         call = pl.pallas_call(
             kern,
-            grid=(nblk,),
+            grid=(nblk + gh,) if ring else (nblk,),
             in_specs=[
-                pl.BlockSpec((BR, wp), lambda i: (i, 0)),   # zbuf rows
+                pl.BlockSpec((BR, wp), omap),               # zbuf rows
                 pl.BlockSpec((16, wp), lambda i: (0, 0)),   # jump tables
             ] + fb_specs,                                   # halo groups
-            out_specs=pl.BlockSpec((BR, wp), lambda i: (i, 0)),
+            out_specs=pl.BlockSpec((BR, wp), omap),
             out_shape=jax.ShapeDtypeStruct((hp, wp), I32),
             scratch_shapes=scratch,
         )
@@ -499,7 +548,7 @@ def dof_blur_auto(fb, zbuf, passes: int = 1, frame_h: int | None = None,
             for _ in range(passes):
                 fi = jax.lax.bitcast_convert_type(f, I32)
                 fip = jnp.pad(fi, ((0, hp - h), (0, wp - w)))
-                fbs = (fip,) if dyn else (fip,) * G
+                fbs = (fip,) if (dyn or ring) else (fip,) * G
                 o = call(zbp, tab, *fbs)[:h, :w]
                 o = jax.lax.bitcast_convert_type(o, f.dtype)
                 f = jnp.where(keep, o, f) if w % 4 else o
@@ -508,10 +557,18 @@ def dof_blur_auto(fb, zbuf, passes: int = 1, frame_h: int | None = None,
 
     # dma (or env PWNFPS_BLUR_DMA): "wide"/"1" = explicit-DMA wide
     # variant, "all" = both variants, "0" = BlockSpec prefetch (A/B
-    # knob; the env form is read at trace time)
+    # knob; the env form is read at trace time).  ring (or env
+    # PWNFPS_BLUR_RING): single-fetch VMEM ring instead of G halo-group
+    # BlockSpecs; dma takes precedence where both are set.
     _dma = os.environ.get("PWNFPS_BLUR_DMA", "0") if dma is None else dma
-    near_passes = build_call(G_NEAR, 1, dyn=_dma == "all")
-    wide_passes = build_call(G_WIDE, 2, dyn=_dma in ("1", "wide", "all"))
+    _ring = (os.environ.get("PWNFPS_BLUR_RING", "0") not in ("0", "")
+             if ring is None else bool(ring))
+    near_dyn = _dma == "all"
+    wide_dyn = _dma in ("1", "wide", "all")
+    near_passes = build_call(G_NEAR, 1, dyn=near_dyn,
+                             ring=_ring and not near_dyn)
+    wide_passes = build_call(G_WIDE, 2, dyn=wide_dyn,
+                             ring=_ring and not wide_dyn)
 
     # any tap beyond even the wide halo? fall back to the exact XLA
     # gather path (vmapped per camera frame when batched)

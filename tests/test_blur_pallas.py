@@ -92,6 +92,41 @@ def test_blur_pallas_v2_bitexact(h, w, zmax, v2):
         f"{np.argwhere(~eq)[0]}")
 
 
+@pytest.mark.parametrize("h,w,zmax", [
+    (16, 256, 5.0),      # nblk=2 < G: every slot formula edge at once
+    (48, 256, 7.0),      # near variant
+    (64, 130, 5.0),      # w%128, w%4 tails
+    (240, 320, 80.0),    # wide variant (ring of 13)
+    (64, 256, 370.0),    # wide reach limit
+])
+def test_blur_pallas_ring_bitexact(h, w, zmax):
+    """PWNFPS_BLUR_RING (one fetched block per grid step + persistent
+    VMEM ring instead of G halo-group BlockSpecs) is bit-identical to
+    the XLA path — same taps and keys, different data movement."""
+    fb, z = _frame(h, w, zmax, seed=h * 17 + w)
+    got = _run(lambda f, d, p: dof_blur_auto(f, d, p, ring=True), fb, z)
+    want = np.asarray(jax.jit(dof_blur)(fb, z))
+    eq = got == want
+    assert eq.all(), (
+        f"{(~eq).sum()}/{eq.size} px differ, first at "
+        f"{np.argwhere(~eq)[0]}")
+
+
+def test_blur_ring_batched_frames_bitexact():
+    """Ring mode with stacked camera frames (frame_h < h): the ring
+    crosses camera boundaries with no special casing because per-camera
+    semantics live in the tap scan, not the fetch."""
+    C, h, w = 3, 40, 256
+    fb, z = _frame(C * h, w, 6.0, seed=101)
+    got = _run(lambda f, d, p: dof_blur_auto(f, d, p, frame_h=h,
+                                             ring=True), fb, z)
+    for k in range(C):
+        want = np.asarray(jax.jit(dof_blur)(fb[k * h:(k + 1) * h],
+                                            z[k * h:(k + 1) * h]))
+        eq = got[k * h:(k + 1) * h] == want
+        assert eq.all(), f"camera {k}: {(~eq).sum()} px differ"
+
+
 def test_blur_pallas_multipass():
     fb, z = _frame(56, 256, 6.0, seed=3)
     got = _run(dof_blur_auto, fb, z, passes=2)
