@@ -171,6 +171,24 @@ class RenderConfig:
     # of inter-wave ray compaction on this workload; see
     # docs/PERFORMANCE.md.
     fused: bool = False
+    # MEASUREMENT-ONLY op-class calibration pads (tools/probe_ladder.py;
+    # never ship a probe config).  Each variant adds a KNOWN count of
+    # extra vector ops to the step body whose results are discarded at
+    # runtime behind a data-opaque select (cdist > -1e30: always true,
+    # not statically provable), so rendered frames stay bit-identical
+    # to probe="" (tests/test_probe.py) while the compiled kernel
+    # carries the extra issue load.  Timing probe-vs-base on chip
+    # prices each op CLASS in ms/plane - the calibration the census's
+    # flat plane model needs (the r3/r4 A/B record shows plane classes
+    # differ wildly: -100 skip planes and +9 carry planes both measured
+    # ~0 ms).  Variants: "pad64" 8 independent 8-step f32 mul+add
+    # chains (128 planes, issue probe); "pad64d" one 64-step dependent
+    # chain (latency probe); "sel64" 8x8 f32 selects on live masks;
+    # "bool128" 64 and + 64 xor on live i1 masks; "fetch2x" a second
+    # full cell fetch at a runtime-equal index (CSE-proof); "fire1"
+    # forces the merged event cond to fire every step (bit-exact by
+    # the merged-cond contract; prices the fire branch at rate 1.0).
+    probe: str = ""
     # distribution samples per frame (config #5 path tracing): traced
     # in ONE device call with the primary wave SHARED across samples -
     # wave 0 never consumes the RNG seed, so per-sample primaries are

@@ -669,6 +669,14 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig,
     f = s.fields          # fetched when the ray last moved (one gather/step)
     cls = f.cls
 
+    if cfg.probe == "fire1":
+        # probe: force the merged event cond to fire every step.
+        # Bit-exact by the merged-cond contract (both bodies are pure
+        # and per-lane masked - firing computes values no lane
+        # consumes); prices the fire branch at rate 1.0 vs the level's
+        # natural rate.  See RenderConfig.probe.
+        flags = flags | 2
+
     # ---- merged rare-event branch: sphere refresh + portal targets --------
     # Both bodies are pure functions of the PRE-step state and fully
     # per-lane-masked, so one tile-uniform cond covers them: firing the
@@ -1011,6 +1019,16 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig,
     # pallas backend's mover-window fetch exploits this
     # (cfg.span_fetch; tools/fetch_span.py sizes it).
     f_next = env.fetch(tgt_cx, tgt_cz, tgt_pg, move=stepped | pgo)
+    if cfg.probe == "fetch2x":
+        # probe: a SECOND full fetch at a runtime-equal index.  ozi is
+        # 0 at runtime but data-opaque, so the duplicate's gathers
+        # survive CSE; the opaque select then discards it.  Prices the
+        # whole chunked-fetch block.  See RenderConfig.probe.
+        opq = s.cdist > F32(-1e30)
+        ozi = jnp.where(opq, 0, 1).astype(tgt_cz.dtype)
+        f_dup = env.fetch(tgt_cx, tgt_cz + ozi, tgt_pg,
+                          move=stepped | pgo)
+        f_next = CellFields(ent=jnp.where(opq, f_next.ent, f_dup.ent))
 
     # ---- transitions (floor<->tall shifts) --------------------------------
     f2 = f_next
@@ -1119,6 +1137,52 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig,
                                            jnp.where(m_yhit | m_wall2,
                                                      ldir2, s.ldir))))
     new_f = _sel_fields(cont2 | pgo2, f_next, f)
+
+    # ---- measurement-only calibration pads (see RenderConfig.probe) ----
+    if cfg.probe in ("pad64", "pad64d", "sel64", "bool128"):
+        opq = s.cdist > F32(-1e30)
+        if cfg.probe == "pad64":
+            # 8 independent 8-step mul+add chains = 128 f32 planes of
+            # issue load at 8-way chain ILP (the body's natural shape)
+            seeds = [pos.x, pos.y, pos.z, ray.x, ray.y, ray.z, wx, wz]
+            acc = None
+            for u in seeds:
+                for _ in range(8):
+                    u = u * ray2.x + pos2.z
+                acc = u if acc is None else acc + u
+            new_fog = jnp.where(opq, new_fog, acc)
+        elif cfg.probe == "pad64d":
+            # ONE dependent 64-step mul+add chain = the same 128 planes
+            # with no ILP: if this costs >> pad64, the body is
+            # latency-sensitive, not issue-bound
+            u = pos.x
+            for _ in range(64):
+                u = u * ray2.x + pos2.z
+            new_fog = jnp.where(opq, new_fog, u)
+        elif cfg.probe == "sel64":
+            # 8 independent 8-deep select chains on live masks/values
+            # (64 select planes) - select-vs-fma issue cost
+            ms = [xstep, zstep, term, pgo2, cont2, my2, ymin, xmin]
+            vs = [pos.x, pos.y, pos.z, ray.x, ray.y, ray.z, wx, wz]
+            acc = None
+            for j, v in enumerate(vs):
+                u = v
+                for m in ms:
+                    u = jnp.where(m, u, vs[(j + 1) % 8])
+                acc = u if acc is None else acc + u
+            new_fog = jnp.where(opq, new_fog, acc)
+        else:  # bool128: 64 and + 64 xor on live i1 mask planes
+            ms = [xstep, zstep, term, pgo2, cont2, my2, ymin, xmin]
+            ns = [is_wall, is_tall, is_ramp, is_portal, ft, near,
+                  sphm, wallT]
+            acc = None
+            for m in ms:
+                u = m
+                for n in ns:
+                    u = u ^ (m & n)
+                acc = u if acc is None else acc | u
+            new_tmeta = jnp.where(opq, new_tmeta,
+                                  jnp.where(acc, 1, 2))
 
     s = s._replace(pos=new_pos, ray=new_ray, wdist=new_wd, iavel=new_ia,
                    fields=new_f,
