@@ -184,10 +184,13 @@ class RenderConfig:
     # ~0 ms).  Variants: "pad64" 8 independent 8-step f32 mul+add
     # chains (128 planes, issue probe); "pad64d" one 64-step dependent
     # chain (latency probe); "sel64" 8x8 f32 selects on live masks;
-    # "bool128" 64 and + 64 xor on live i1 masks; "fetch2x" a second
-    # full cell fetch at a runtime-equal index (CSE-proof); "fire1"
-    # forces the merged event cond to fire every step (bit-exact by
-    # the merged-cond contract; prices the fire branch at rate 1.0).
+    # "bool128" 64 and + 64 xor on live i1 masks; "int128" the same
+    # chains on i32 {0,1} masks (i1-vs-i32 logic cost); "cmp64" 64
+    # f32 compare + select pairs (minus sel64 = the compares);
+    # "fetch2x" a second full cell fetch at a runtime-equal index
+    # (CSE-proof); "fire1" forces the merged event cond to fire every
+    # step (bit-exact by the merged-cond contract; prices the fire
+    # branch at rate 1.0).
     probe: str = ""
     # distribution samples per frame (config #5 path tracing): traced
     # in ONE device call with the primary wave SHARED across samples -

@@ -259,7 +259,7 @@ _FIRE_NONE = 3.0e38     # aux_fire sentinel while no candidate is pending
 
 def make_sphere_all(n_spheres: int, get_sphere, math: Math,
                     get_bound=None, sphere_page=None,
-                    gather_sphere=None):
+                    gather_sphere=None, slack=0.04):
     """Line-vs-all-spheres candidate pass for the fast path.
 
     The reference registers a sphere candidate at the first DDA step
@@ -445,10 +445,11 @@ def make_sphere_all(n_spheres: int, get_sphere, math: Math,
         # |ray|<1 could be gated out while aimed dead-on at a distant
         # sphere (the old t=0 form d2-dt3^2<br^2 erred by
         # (1-|ray|^2)*d2 - unbounded in distance).
-        # The 0.04 is sized for game-scale scenes only; worlddev
-        # _check_sphere_envelope rejects scenes outside that envelope
-        # at build time so the bound can never silently under-gate.
-        brq2 = br * br + F32(0.04)
+        # The slack is 0.04 for game-scale scenes; worlddev
+        # _sphere_slack widens it (quadratic in coordinate scale) for
+        # scenes outside that envelope at build time so the bound can
+        # never silently under-gate (WorldMeta.sph_slack).
+        brq2 = br * br + F32(slack)
         # Per-lane relevance bit (sph_dirty bit 1): XZ-PROJECTED line
         # vs the bounding circle - a superset of any 3D line-sphere hit
         # (projection shrinks distances) that is INVARIANT under the
@@ -492,7 +493,7 @@ def make_sphere_all(n_spheres: int, get_sphere, math: Math,
     return run
 
 
-def make_sphere_rel(get_bound, sphere_page=None):
+def make_sphere_rel(get_bound, sphere_page=None, slack=0.04):
     """Relevance of a PROSPECTIVE ray line: can the XZ-projected line
     from (px, pz) along (vx, vz) hit the scene's bounding circle?
 
@@ -509,7 +510,7 @@ def make_sphere_rel(get_bound, sphere_page=None):
     def rel(px, pz, vx, vz, page=None):
         bc, br = get_bound()
         zero = jnp.zeros_like(px)
-        brq2 = br * br + F32(0.04)   # same slack as run's rel bit
+        brq2 = br * br + F32(slack)   # same slack as run's rel bit
         rx = bc.x + zero - px
         rz = bc.z + zero - pz
         d2xz = rx * rx + rz * rz
@@ -1139,7 +1140,8 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig,
     new_f = _sel_fields(cont2 | pgo2, f_next, f)
 
     # ---- measurement-only calibration pads (see RenderConfig.probe) ----
-    if cfg.probe in ("pad64", "pad64d", "sel64", "bool128"):
+    if cfg.probe in ("pad64", "pad64d", "sel64", "bool128", "int128",
+                     "cmp64"):
         opq = s.cdist > F32(-1e30)
         if cfg.probe == "pad64":
             # 8 independent 8-step mul+add chains = 128 f32 planes of
@@ -1169,6 +1171,36 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig,
                 u = v
                 for m in ms:
                     u = jnp.where(m, u, vs[(j + 1) % 8])
+                acc = u if acc is None else acc + u
+            new_fog = jnp.where(opq, new_fog, acc)
+        elif cfg.probe == "int128":
+            # the bool128 chains on i32 {0,1} masks (16 one-off
+            # converts, then 128 i32 bitwise planes): if this costs
+            # ~f32-rate while bool128 costs ~14x it (the r5 ladder),
+            # the body's i1 mask logic should move to i32 words
+            ms = [xstep, zstep, term, pgo2, cont2, my2, ymin, xmin]
+            ns = [is_wall, is_tall, is_ramp, is_portal, ft, near,
+                  sphm, wallT]
+            mi = [jnp.where(m, 1, 0) for m in ms]
+            ni = [jnp.where(n, 1, 0) for n in ns]
+            acc = None
+            for m in mi:
+                u = m
+                for n in ni:
+                    u = u ^ (m & n)
+                acc = u if acc is None else acc | u
+            new_tmeta = jnp.where(opq, new_tmeta,
+                                  jnp.where(acc != 0, 1, 2))
+        elif cfg.probe == "cmp64":
+            # 64 f32 compare + 64 select pairs; delta minus sel64's
+            # prices the compares themselves
+            vs = [pos.x, pos.y, pos.z, ray.x, ray.y, ray.z, wx, wz]
+            acc = None
+            for j, v in enumerate(vs):
+                u = v
+                for k in range(8):
+                    c = u < vs[(j + k + 1) % 8]
+                    u = jnp.where(c, u, vs[(j + k) % 8])
                 acc = u if acc is None else acc + u
             new_fog = jnp.where(opq, new_fog, acc)
         else:  # bool128: 64 and + 64 xor on live i1 mask planes

@@ -185,13 +185,14 @@ def make_env(world: W.WorldDev, meta: W.WorldMeta,
         sphere_all = (make_sphere_all(
             meta.n_spheres, get_sphere, math, get_bound,
             sphere_page=meta.sphere_page if paged else None,
-            gather_sphere=gather_sphere)
+            gather_sphere=gather_sphere, slack=meta.sph_slack)
             if meta.n_spheres > 0 else None)
     sphere_view = (make_sphere_view(gather_sphere, math)
                    if (sphere_all is not None or sphere_pass is not None)
                    else None)
     sphere_rel = (make_sphere_rel(
-        get_bound, sphere_page=meta.sphere_page if paged else None)
+        get_bound, sphere_page=meta.sphere_page if paged else None,
+        slack=meta.sph_slack)
         if sphere_all is not None else None)
     return Env(math=math, fetch=fetch, fetch_portal=fetch_portal,
                sphere_pass=sphere_pass,

@@ -529,6 +529,7 @@ def _sphere_pass_pallas(mask_ref, sph_ref, n_spheres: int, math: Math,
 
 def _kernel(cfg: RenderConfig, n_spheres: int, lh: int, has_clear: bool,
             n_pages: int, sphere_page: int, pack: bool, pslots: int,
+            sph_slack: float,
             word_ref, cword_ref, ptab_ref, mask_ref, sph_ref, spht_ref,
             rsqrt_ref, rcp_ref, sec_ref, page0_ref,
             fx, fy, fz, rx, ry, rz, seed_ref, *outs):
@@ -603,13 +604,14 @@ def _kernel(cfg: RenderConfig, n_spheres: int, lh: int, has_clear: bool,
         sphere_all = (make_sphere_all(
             n_spheres, get_sphere, math, get_bound,
             sphere_page=sphere_page if paged else None,
-            gather_sphere=gather_sphere)
+            gather_sphere=gather_sphere, slack=sph_slack)
             if n_spheres > 0 else None)
     sphere_view = (make_sphere_view(gather_sphere, math)
                    if (sphere_all is not None or sphere_pass is not None)
                    else None)
     sphere_rel = (make_sphere_rel(
-        get_bound, sphere_page=sphere_page if paged else None)
+        get_bound, sphere_page=sphere_page if paged else None,
+        slack=sph_slack)
         if sphere_all is not None else None)
     env = Env(math=math, fetch=fetch, fetch_portal=fetch_portal,
               sphere_pass=sphere_pass, randfs=_randfs_i32,
@@ -640,11 +642,11 @@ def _kernel(cfg: RenderConfig, n_spheres: int, lh: int, has_clear: bool,
                    static_argnames=("cfg", "n_spheres", "n_rays", "lh",
                                     "has_clear", "n_pages",
                                     "sphere_page", "pack", "pslots",
-                                    "frame_hw"))
+                                    "sph_slack", "frame_hw"))
 def _trace_pallas(tables: PallasTables, cfg: RenderConfig,
                   n_spheres: int, n_rays: int, lh: int, has_clear: bool,
                   n_pages: int, sphere_page: int, pack: bool,
-                  pslots: int,
+                  pslots: int, sph_slack: float,
                   fx, fy, fz, rx, ry, rz, seeds, sec, page0,
                   frame_hw=None):
     tile = PARITY_TILE if cfg.parity else TILE
@@ -727,7 +729,8 @@ def _trace_pallas(tables: PallasTables, cfg: RenderConfig,
     i32s = jax.ShapeDtypeStruct(oshape, jnp.int32)
     outs = [i32s, f32s] if pack else [f32s] * 5
     kern = functools.partial(_kernel, cfg, n_spheres, lh, has_clear,
-                             n_pages, sphere_page, pack, pslots)
+                             n_pages, sphere_page, pack, pslots,
+                             sph_slack)
     res = pl.pallas_call(
         kern, out_shape=outs, grid_spec=grid_spec,
     )(tables.word, tables.cword, tables.ptab, tables.mask, tables.sph,
@@ -771,7 +774,7 @@ def trace_wave_pallas(world: W.WorldDev, meta: W.WorldMeta,
     n = ifrom.x.shape[0]
     return _trace_pallas(tables, cfg, meta.n_spheres, n, meta.lh,
                          meta.has_clear, meta.n_pages, meta.sphere_page,
-                         pack, meta.pslots,
+                         pack, meta.pslots, meta.sph_slack,
                          ifrom.x, ifrom.y, ifrom.z,
                          iray.x, iray.y, iray.z, seed, sec, page0,
                          frame_hw=frame_hw)

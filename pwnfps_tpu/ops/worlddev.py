@@ -41,6 +41,7 @@ coefficient is derived from the class in-kernel):
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import NamedTuple
 
 import numpy as np
@@ -108,6 +109,11 @@ class WorldMeta:
     # packed record from a [n_pages * pslots] table instead of
     # scanning the full per-cell word table (portal_slot_tables).
     pslots: int = 0
+    # bound-sphere gate slack (tracer_core brq2 = br*br + sph_slack):
+    # 0.04 for game-scale scenes, widened quadratically (power-of-two
+    # quantized) for scenes outside the derivation envelope so the
+    # gates stay sound supersets there (_sphere_slack).
+    sph_slack: float = 0.04
 
 
 def _cls_to_refined(level: LevelData) -> np.ndarray:
@@ -220,33 +226,49 @@ def _clearance_frame(static_word: np.ndarray) -> np.ndarray:
     return base
 
 
-def _check_sphere_envelope(spheres: SphereSet) -> None:
-    """Loud guard for the fast path's bound-sphere slack.
+def _sphere_slack(spheres: SphereSet) -> float:
+    """Build-time bound-sphere slack for the fast path's hoist gates.
 
-    The hoist gate's brq2 = br*br + 0.04 slack (tracer_core
-    make_sphere_all/make_sphere_rel) is an ABSOLUTE constant sized for
-    game-scale scenes: sphere centres inside the 64x64 grid's unit-high
-    band and radii <= 2, giving compare-rounding ~1.6e-2 + projection
-    error ~1.2e-2 < 0.04.  A scene outside that envelope could silently
+    The hoist gate's brq2 = br*br + slack (tracer_core
+    make_sphere_all/make_sphere_rel) needs slack >= the gate
+    expressions' f32 evaluation error, or a scene could silently
     under-gate the hoist (dropping real sphere hits with no test
-    tripping - round-3 advisor finding), so reject it here, at world
-    build, where the coordinates are concrete numpy."""
+    tripping - round-3 advisor finding).  0.04 is the derived constant
+    for game-scale scenes (centres in [-1,65]x[-2,3]x[-1,65], r <= 2:
+    compare-rounding ~1.6e-2 + projection error ~1.2e-2 < 0.04).  Both
+    error terms are sums of PRODUCTS of two coordinate-scale
+    quantities, so they grow quadratically with the scene's coordinate
+    magnitude; scenes outside the envelope (e.g. a script-animated
+    sphere drifting out mid-game - round-4 advisor finding: this used
+    to raise per frame) get the 0.04 widened by the squared scale
+    ratio instead of a crash.  Widening is always SOUND: the gates are
+    conservative supersets, so a looser gate only fires the (exact,
+    idempotent) refresh more often - bits are unchanged, only perf.
+    The ratio is quantized to power-of-two steps so an animated sphere
+    does not retrigger jit specialization every frame (slack is a
+    static WorldMeta field)."""
     live = np.asarray(spheres.r, np.float32) > 0
     if not live.any():
-        return
+        return 0.04
     pos = np.asarray(spheres.pos, np.float32)[live]
     r = np.asarray(spheres.r, np.float32)[live]
-    ok = ((pos[:, 0] >= -1) & (pos[:, 0] <= 65)
-          & (pos[:, 2] >= -1) & (pos[:, 2] <= 65)
-          & (pos[:, 1] >= -2) & (pos[:, 1] <= 3) & (r <= 2.0))
-    if not ok.all():
-        bad = int(np.nonzero(~ok)[0][0])
-        raise ValueError(
-            f"sphere {bad} (pos={pos[bad]}, r={r[bad]}) is outside the "
-            "envelope the hoist gate's 0.04 bound-sphere slack was "
-            "derived for (centres in [-1,65]x[-2,3]x[-1,65], r <= 2); "
-            "re-derive brq2 in tracer_core.make_sphere_all before "
-            "tracing this scene in fast mode")
+    in_env = bool(((pos[:, 0] >= -1) & (pos[:, 0] <= 65)
+                   & (pos[:, 2] >= -1) & (pos[:, 2] <= 65)
+                   & (pos[:, 1] >= -2) & (pos[:, 1] <= 3)
+                   & (r <= 2.0)).all())
+    if in_env:
+        return 0.04     # the derived constant, bit-for-bit
+    # max squared centre-to-ray distance the gate expressions can see:
+    # rays stay inside the grid (x/z in [0,64], y within ~[-1,3] of the
+    # floor band), so rel_x/z <= |c|+r+64 and rel_y <= |c|+r+4, floored
+    # at the envelope's own per-axis maxima (67, 6, 67).
+    m = np.abs(pos) + r[:, None]
+    d2 = (max(float(m[:, 0].max()) + 64.0, 67.0) ** 2
+          + max(float(m[:, 1].max()) + 4.0, 6.0) ** 2
+          + max(float(m[:, 2].max()) + 64.0, 67.0) ** 2)
+    d2_env = 67.0 ** 2 + 6.0 ** 2 + 67.0 ** 2
+    k = max(1, math.ceil(math.log2(d2 / d2_env)))
+    return 0.04 * float(2 ** k)
 
 
 def build_world(level: LevelData, spheres: SphereSet, tables: SseTables,
@@ -254,7 +276,7 @@ def build_world(level: LevelData, spheres: SphereSet, tables: SseTables,
                 ) -> tuple[WorldDev, WorldMeta]:
     if static_word is None:
         static_word = pack_static_word(level)
-    _check_sphere_envelope(spheres)
+    sph_slack = _sphere_slack(spheres)
     counts = spheres.counts.reshape(-1).astype(np.int32)
     k_needed = int(counts.max()) if counts.size else 0
     runs = _clearance_frame(static_word).reshape(-1)
@@ -284,7 +306,8 @@ def build_world(level: LevelData, spheres: SphereSet, tables: SseTables,
     lh = min(64, -(-(last + 1) // 8) * 8)
     return dev, WorldMeta(k_bucket=k_needed, n_spheres=max(n, 0), lh=lh,
                           has_clear=bool(runs.any()),
-                          pslots=_pslot_capacity(word, 1))
+                          pslots=_pslot_capacity(word, 1),
+                          sph_slack=sph_slack)
 
 
 # word decode helpers (work on numpy or jnp int32 arrays)
@@ -393,7 +416,7 @@ def build_world_paged(static_words: np.ndarray, spheres: SphereSet,
     page-local SphereSet whose buckets live on `sphere_page`."""
     P = static_words.shape[0]
     assert 1 <= P <= 16, P
-    _check_sphere_envelope(spheres)
+    sph_slack = _sphere_slack(spheres)
     words = static_words.astype(np.int32).reshape(P, 4096).copy()
     counts = spheres.counts.reshape(-1).astype(np.int32)
     k_needed = int(counts.max()) if counts.size else 0
@@ -428,4 +451,5 @@ def build_world_paged(static_words: np.ndarray, spheres: SphereSet,
     return dev, WorldMeta(k_bucket=k_needed, n_spheres=max(n, 0),
                           lh=64, n_pages=P, sphere_page=sphere_page,
                           has_clear=has_clear,
-                          pslots=_pslot_capacity(words, P))
+                          pslots=_pslot_capacity(words, P),
+                          sph_slack=sph_slack)

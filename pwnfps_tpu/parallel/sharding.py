@@ -362,9 +362,8 @@ def _render_cams_mesh_jit(world, meta: W.WorldMeta, cfg: RenderConfig,
         # equivalents of all-gathers per step, tools/mesh_collectives.py)
         hp2 = Rloc * n_px
         spec3 = P("cam", "px", None)
-        xs_u = jnp.arange(w, dtype=jnp.uint32)
 
-        def local(wd, og_l, sec_l, rb_l, rx_l, ry_l):
+        def local(wd, og_l, sec_l, rb_l, rx_l, ry_l, sd_l):
             # promote cam-only/replicated inputs to vary over every
             # axis, so lax.cond branches inside the tracer agree on
             # varying manual axes
@@ -372,6 +371,7 @@ def _render_cams_mesh_jit(world, meta: W.WorldMeta, cfg: RenderConfig,
             rb_l = jax.lax.pcast(rb_l, "px", to="varying")
             rx_l = jax.lax.pcast(rx_l, "px", to="varying")
             ry_l = jax.lax.pcast(ry_l, "px", to="varying")
+            sd_l = jax.lax.pcast(sd_l, "cam", to="varying")
             cl = og_l.shape[0]
             ys_l = (jax.lax.axis_index("px") * Rloc
                     + jnp.arange(Rloc, dtype=jnp.int32))
@@ -387,11 +387,10 @@ def _render_cams_mesh_jit(world, meta: W.WorldMeta, cfg: RenderConfig,
 
             rv = V3(compl(0, _FILLS["rx"]), compl(1, _FILLS["ry"]),
                     compl(2, _FILLS["rz"]))
-            s1 = jnp.where(live[0],
-                           lcg.pixel_seed(
-                               xs_u[None, :],
-                               ys_l.astype(jnp.uint32)[:, None], w),
-                           jnp.uint32(_FILLS["seed"]))
+            # the caller's seed image, band rows only (pad rows filled
+            # by the where; was lcg.pixel_seed regenerated here, which
+            # silently ignored a custom `seeds` - r4 advisor finding)
+            s1 = jnp.where(live[0], sd_l, jnp.uint32(_FILLS["seed"]))
             s_l = jnp.broadcast_to(s1[None], (cl, Rloc, w)).reshape(-1)
             n_l = cl * Rloc * w
             rep = lambda v: jnp.repeat(v, Rloc * w,
@@ -401,14 +400,17 @@ def _render_cams_mesh_jit(world, meta: W.WorldMeta, cfg: RenderConfig,
                                    (cl * Rloc, w))
             return (fbl.reshape(cl, Rloc, w), zbl.reshape(cl, Rloc, w))
 
+        seeds_p = jnp.pad(seeds.reshape(h, w).astype(jnp.uint32),
+                          ((0, hp2 - h), (0, 0)),
+                          constant_values=_FILLS["seed"])
         wspec = jax.tree.map(lambda _: P(), world)
         fb, zbuf = jax.shard_map(
             local, mesh=mesh,
             in_specs=(wspec, P("cam", None), P(), P("cam", None),
-                      P("cam", None), P("cam", None)),
+                      P("cam", None), P("cam", None), P("px", None)),
             out_specs=(spec3, spec3),
         )(world, cams[:, 3, :3], jnp.asarray(sec, jnp.float32),
-          rayb, rdx, rdy)
+          rayb, rdx, rdy, seeds_p)
 
         if cfg.postproc_blur:
             rows = jnp.arange(hp2, dtype=jnp.int32)[None, :, None]

@@ -771,11 +771,16 @@ class Interp:
                 return r[0] if isinstance(r, tuple) else r
         return lua_tostring(v)
 
+    # Lua 5.1 bounds gettable/settable metatable chains at 100 hops
+    # ("loop in gettable") so a cyclic __index/__newindex chain errors
+    # instead of hanging the host (r4 advisor finding).
+    _MAX_MT_HOPS = 100
+
     def _index(self, t, k):
         """t[k] honouring __index chains; strings index the string
         library (the reference opens the stock 5.1 string metatable,
         script.h:75-77)."""
-        while True:
+        for _ in range(self._MAX_MT_HOPS):
             if isinstance(t, LuaTable):
                 v = t.get(k)
                 if v is not None:
@@ -793,10 +798,11 @@ class Interp:
             if t is None:
                 raise LuaError("attempt to index a nil value")
             raise LuaError(f"attempt to index a {_lua_type(t)} value")
+        raise LuaError("loop in gettable")
 
     def _newindex(self, t, k, v):
         """t[k] = v honouring __newindex chains."""
-        while True:
+        for _ in range(self._MAX_MT_HOPS):
             if not isinstance(t, LuaTable):
                 raise LuaError(
                     f"attempt to index a {_lua_type(t)} value")
@@ -810,6 +816,7 @@ class Interp:
                 continue
             self._call(h, [t, k, v])
             return
+        raise LuaError("loop in settable")
 
     _BIN_MM = {"+": "__add", "-": "__sub", "*": "__mul", "/": "__div",
                "%": "__mod", "^": "__pow", "..": "__concat"}
@@ -1079,9 +1086,11 @@ class Interp:
                 eq = _lua_eq(a, b)
                 if (not eq and isinstance(a, LuaTable)
                         and isinstance(b, LuaTable)
-                        and a.mt is not None):
+                        and a.mt is not None and b.mt is not None):
+                    # 5.1 dispatches __eq only when BOTH operands
+                    # select the SAME handler (lvm.c luaV_equalval)
                     h = a.mt.get("__eq")
-                    if h is not None:
+                    if h is not None and h is b.mt.get("__eq"):
                         r = self._call(h, [a, b])
                         eq = _truthy(r[0] if isinstance(r, tuple)
                                      else r)

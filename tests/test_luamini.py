@@ -264,3 +264,36 @@ def test_protected_metatable():
     """)
     assert it.g["g"] == "locked"
     assert it.g["ok"] is False
+
+
+def test_cyclic_metatable_chain_errors():
+    """5.1 errors after 100 __index/__newindex hops ('loop in
+    gettable'); a cyclic chain must not hang the host (r4 advisor)."""
+    it = run("""
+        a, b = {}, {}
+        setmetatable(a, {__index = b})
+        setmetatable(b, {__index = a})
+        okr, errr = pcall(function() return a.missing end)
+        setmetatable(a, {__newindex = b})
+        setmetatable(b, {__newindex = a})
+        okw, errw = pcall(function() a.missing = 1 end)
+    """)
+    assert it.g["okr"] is False and "loop in gettable" in it.g["errr"]
+    assert it.g["okw"] is False and "loop in settable" in it.g["errw"]
+
+
+def test_eq_requires_same_handler():
+    """5.1 dispatches __eq only when both operands share the handler
+    (luaV_equalval); a left-only handler must NOT fire (r4 advisor)."""
+    it = run("""
+        mk = function(h) return setmetatable({}, h) end
+        always = function(x, y) return true end
+        h1 = {__eq = always}
+        h2 = {__eq = function(x, y) return true end}
+        same = (mk(h1) == mk(h1))          -- shared handler: fires
+        diff = (mk(h1) == mk(h2))          -- different handlers: raw eq
+        bare = (mk(h1) == {})              -- right has no mt: raw eq
+    """)
+    assert it.g["same"] is True
+    assert it.g["diff"] is False
+    assert it.g["bare"] is False

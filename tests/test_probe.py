@@ -23,7 +23,8 @@ from pwnfps_tpu.world.levelc import load_level
 
 from .test_pallas import _col_np, _rays, _setup
 
-PROBES = ["fire1", "fetch2x", "pad64", "pad64d", "sel64", "bool128"]
+PROBES = ["fire1", "fetch2x", "pad64", "pad64d", "sel64", "bool128",
+          "int128", "cmp64"]
 
 
 def _trace(world, meta, cfg, fv, rv, seeds, sec, pallas):

@@ -243,7 +243,16 @@ def census(jaxpr, region, acc, per_prim, per_line=None):
         w = sum(_wide_planes(v) for v in eqn.outvars)
         if w:
             acc[region] += w
-            per_prim[(region, prim)] += w
+            # dtype tag: the r5 probe ladder measured op-class prices
+            # differing ~14x by dtype (i1 mask logic vs f32 fma), so
+            # the census attributes planes per (prim, dtype)
+            try:
+                dt = str(eqn.outvars[0].aval.dtype)
+                dt = {"float32": "f32", "int32": "i32", "bool": "i1",
+                      "uint32": "u32"}.get(dt, dt)
+            except Exception:
+                dt = "?"
+            per_prim[(region, f"{prim}[{dt}]")] += w
             if per_line is not None:
                 per_line[(region, _src_line(eqn))] += w
 

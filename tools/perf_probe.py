@@ -54,11 +54,10 @@ def main() -> int:
     ap.add_argument("--spanfetch", type=int, default=None,
                     help="mover-window fetch span in chunks (0 "
                          "disables; default = RenderConfig default)")
-    ap.add_argument("--trace2d", action="store_true",
-                    help="2D frame-layout trace I/O (cfg.trace_2d): "
-                         "kernel BlockSpecs address pixel rectangles "
-                         "of the row-major frame, no tile/untile "
-                         "relayouts")
+    ap.add_argument("--notrace2d", action="store_true",
+                    help="disable the 2D frame-layout trace I/O "
+                         "(cfg.trace_2d, default ON like production): "
+                         "fall back to flat tile I/O + untile relayouts")
     ap.add_argument("--rect", default=None,
                     help="tile pixel-rectangle BHxBW (e.g. 8x1024; "
                          "default 64x128)")
@@ -108,7 +107,7 @@ def main() -> int:
                        water=not args.nowater,
                        **({} if args.spanfetch is None
                           else {"span_fetch": args.spanfetch}),
-                       trace_2d=args.trace2d,
+                       trace_2d=not args.notrace2d,
                        **({} if args.rect is None
                           else {"tile_rect": tuple(
                            int(x) for x in args.rect.split("x"))}))

@@ -34,6 +34,8 @@ VARIANTS = [
     ("fetch2x", {"probe": "fetch2x"}),   # +1 full chunked fetch
     ("fire1", {"probe": "fire1"}),       # fire branch at rate 1.0
     ("bool128", {"probe": "bool128"}),   # +128 i1 mask planes
+    ("int128", {"probe": "int128"}),     # same chains, i32 masks
+    ("cmp64", {"probe": "cmp64"}),       # 64 cmp + 64 sel pairs
     ("pad64d", {"probe": "pad64d"}),     # same 128 planes, no ILP
     ("noskip", {"space_skip": False}),   # -100ish planes (diff bits ok)
     ("nopack", {"pack_carry": False}),   # +9 carried planes
