@@ -388,9 +388,23 @@ def _v2_env(v2):
     return bool(v2)
 
 
-@partial(jax.jit, static_argnames=("fh", "wide", "v2"))
 def dof_blur_band_pallas(fb_pad, zb, y0, fh: int, wide: bool,
                          v2: bool | None = None):
+    """Band DoF blur - thin env-resolving wrapper over the jitted body.
+
+    Resolves the PWNFPS_BLUR_V2 A/B env knob OUTSIDE jit so the value
+    lands in the jit cache key: reading it at trace time froze the
+    first call's env into every later cache hit, making a flipped env
+    silently reuse the stale compiled variant (r4 advisor finding).
+    NB a caller already inside jit (the mesh render paths) still
+    captures the env at ITS trace time - flip the env before building
+    the outer jitted computation.  See _dof_blur_band for semantics."""
+    return _dof_blur_band(fb_pad, zb, y0, fh, wide, _v2_env(v2))
+
+
+@partial(jax.jit, static_argnames=("fh", "wide", "v2"))
+def _dof_blur_band(fb_pad, zb, y0, fh: int, wide: bool,
+                   v2: bool | None = None):
     """Band DoF blur, Pallas halo kernel — ONE pass.
 
     The multi-chip blur body (parallel.sharding._dof_blur_mesh): each
@@ -428,7 +442,7 @@ def dof_blur_band_pallas(fb_pad, zb, y0, fh: int, wide: bool,
     nblk_loc = hb // BR
     npadblk = hbH // BR
     hb8 = H // BR
-    _v2 = _v2_env(v2)
+    _v2 = v2      # env already resolved by the wrapper
     kern = partial(_blur_kernel, 0, w, 0, wp, fstr, fh, G, pairs, H, hb,
                    False, False, _v2 if _v2 is not None else wide)
     # group g of local block b fetches this camera's padded block
@@ -465,11 +479,31 @@ def dof_blur_band_pallas(fb_pad, zb, y0, fh: int, wide: bool,
     return o.reshape(cl, hb, w)
 
 
-@partial(jax.jit, static_argnames=("passes", "frame_h", "dma", "v2",
-                                   "ring"))
 def dof_blur_auto(fb, zbuf, passes: int = 1, frame_h: int | None = None,
                   dma: str | None = None, v2: bool | None = None,
                   ring: bool | None = None):
+    """Exact DoF blur - thin env-resolving wrapper over the jitted body.
+
+    Resolves the PWNFPS_BLUR_DMA / PWNFPS_BLUR_V2 / PWNFPS_BLUR_RING
+    A/B env knobs OUTSIDE jit so their values land in the jit cache
+    key (r4 advisor finding: trace-time reads froze the first call's
+    env into every later cache hit).  A caller already inside jit
+    (render_frame) still captures the env at ITS trace time - flip the
+    env before building the outer jitted computation.  See
+    _dof_blur_auto for semantics."""
+    if dma is None:
+        dma = os.environ.get("PWNFPS_BLUR_DMA", "0")
+    if ring is None:
+        ring = os.environ.get("PWNFPS_BLUR_RING", "0") not in ("0", "")
+    return _dof_blur_auto(fb, zbuf, passes, frame_h, dma, _v2_env(v2),
+                          bool(ring))
+
+
+@partial(jax.jit, static_argnames=("passes", "frame_h", "dma", "v2",
+                                   "ring"))
+def _dof_blur_auto(fb, zbuf, passes: int = 1, frame_h: int | None = None,
+                   dma: str | None = None, v2: bool | None = None,
+                   ring: bool | None = None):
     """Exact DoF blur, Pallas halo kernel when depth permits.
 
     fb: [h,w] uint32 BGRA, zbuf: [h,w] f32 -> blurred fb (bit-identical
@@ -493,7 +527,7 @@ def dof_blur_auto(fb, zbuf, passes: int = 1, frame_h: int | None = None,
 
     nblk = hp // BR
 
-    _v2 = _v2_env(v2)
+    _v2 = v2      # env already resolved by the wrapper
 
     def build_call(G, pairs, dyn=False, ring=False):
         use_v2 = _v2 if _v2 is not None else (pairs == 2)
@@ -555,14 +589,13 @@ def dof_blur_auto(fb, zbuf, passes: int = 1, frame_h: int | None = None,
             return f
         return passes_fn
 
-    # dma (or env PWNFPS_BLUR_DMA): "wide"/"1" = explicit-DMA wide
-    # variant, "all" = both variants, "0" = BlockSpec prefetch (A/B
-    # knob; the env form is read at trace time).  ring (or env
-    # PWNFPS_BLUR_RING): single-fetch VMEM ring instead of G halo-group
-    # BlockSpecs; dma takes precedence where both are set.
-    _dma = os.environ.get("PWNFPS_BLUR_DMA", "0") if dma is None else dma
-    _ring = (os.environ.get("PWNFPS_BLUR_RING", "0") not in ("0", "")
-             if ring is None else bool(ring))
+    # dma: "wide"/"1" = explicit-DMA wide variant, "all" = both
+    # variants, "0" = BlockSpec prefetch (A/B knob).  ring:
+    # single-fetch VMEM ring instead of G halo-group BlockSpecs; dma
+    # takes precedence where both are set.  The PWNFPS_BLUR_* env
+    # forms are resolved by the dof_blur_auto wrapper.
+    _dma = "0" if dma is None else dma
+    _ring = bool(ring)
     near_dyn = _dma == "all"
     wide_dyn = _dma in ("1", "wide", "all")
     near_passes = build_call(G_NEAR, 1, dyn=near_dyn,
