@@ -254,6 +254,30 @@ def _sel_fields(m, a: CellFields, b: CellFields) -> CellFields:
     return CellFields(ent=jnp.where(m, a.ent, b.ent))
 
 
+# ---- i32 mask calculus --------------------------------------------------
+# The r5 probe ladder (benchmarks/results/r5_probe_ladder.json) priced
+# Mosaic v5e's vector op classes per step-body plane: i1 mask-to-mask
+# logic costs ~14x an f32 fma and ~4.5x the SAME chains on i32 {0,1}
+# words (bool128 +2.77 ms vs int128 +0.61 in one session), while
+# compares and selects are cheap (cmp64 ~= sel64).  The step body
+# therefore keeps its masks as i32 {0,1} planes wherever they enter
+# mask logic: f32 compares convert in via _m(), small-int class tests
+# use bitset probes ((BITS >> cls) & 1 - no i1 at all), logic runs in
+# &, |, ^1 (NEVER ~, which is bitwise not on i32), and select
+# predicates convert back via _p() (one cheap compare per mask, CSE'd).
+# The {0,1} sets are identical, so every select picks the same lanes
+# and rendered frames are bit-identical - guarded by the parity and
+# cross-backend suites.
+def _m(b):
+    """i1 -> i32 {0,1} mask."""
+    return jnp.where(b, 1, 0)
+
+
+def _p(m):
+    """i32 {0,1} mask -> select predicate."""
+    return m != 0
+
+
 _FIRE_NONE = 3.0e38     # aux_fire sentinel while no candidate is pending
 
 
@@ -333,15 +357,15 @@ def make_sphere_all(n_spheres: int, get_sphere, math: Math,
         else:
             fire = zero + F32(_FIRE_NONE)
             best_aux = zero + F32(_FIRE_NONE)
-        new = zero > F32(1.0)
+        new = jnp.zeros_like(s.sph_dirty)   # i32 {0,1} (the _m/_p note)
         w_te = zero         # winner's slab entry time (from current pos)
         w_sd = zero         # winner's raw sph_dist
         w_idx = jnp.zeros_like(s.sph_dirty)   # winner's sphere index
-        base = mask & (s.active != 0)
+        base = _m(mask) & s.active
         if sphere_page is not None:
             # paged world: every sphere lives on one page; candidates
             # only exist for lanes currently in it
-            base = base & (s.page == sphere_page)
+            base = base & _m(s.page == sphere_page)
         # loop-invariant lane terms, hoisted out of the sphere loop.
         # ivx_s folds the slab-direction sign into iavel:
         # (b1-p)*iv == (b1-p)*ivx_s for +x rays and
@@ -391,19 +415,23 @@ def make_sphere_all(n_spheres: int, get_sphere, math: Math,
             te_d = s.cdist + t_entry
             aux_c = sph_dist + te_d
             fire_c = jnp.maximum(aux_c, te_d)
-            upd = (base & (dot > 0.0) & (calcrad2 < rad2)
-                   & ((fire_c < fire)
-                      | ((fire_c == fire) & (aux_c < best_aux))))
-            fire = jnp.where(upd, fire_c, fire)
-            best_aux = jnp.where(upd, aux_c, best_aux)
+            # mask logic on i32 {0,1} words (the _m/_p calculus): same
+            # sets, same selected lanes, bit-identical outputs
+            upd = (base & _m(dot > 0.0) & _m(calcrad2 < rad2)
+                   & (_m(fire_c < fire)
+                      | (_m(fire_c == fire) & _m(aux_c < best_aux))))
+            upd_p = _p(upd)
+            fire = jnp.where(upd_p, fire_c, fire)
+            best_aux = jnp.where(upd_p, aux_c, best_aux)
             new = new | upd
-            w_te = jnp.where(upd, t_entry, w_te)
-            w_sd = jnp.where(upd, sph_dist, w_sd)
-            w_idx = jnp.where(upd, si, w_idx)
+            w_te = jnp.where(upd_p, t_entry, w_te)
+            w_sd = jnp.where(upd_p, sph_dist, w_sd)
+            w_idx = jnp.where(upd_p, si, w_idx)
         # aux_dist tracked the winning aux_c through the loop; one
         # post-loop select reproduces it (winner ⇒ best_aux, else the
         # incoming value) — n_spheres selects fewer, same bits
-        aux_dist = jnp.where(new, best_aux, aux_dist)
+        new_p = _p(new)
+        aux_dist = jnp.where(new_p, best_aux, aux_dist)
         # only the winner's CENTRE is needed here (normal + diffuse use
         # the registration-time ray, so they derive now); its
         # reflectance/colour gathers happen once per segment in
@@ -416,10 +444,10 @@ def make_sphere_all(n_spheres: int, get_sphere, math: Math,
         diff = jnp.maximum(-dot_sse(s.ray, anorm), 0.0)
         diff = F32(0.2) + F32(0.8) * diff
         return (aux_dist,
-                apos.where(new, s.aux_apos),
-                jnp.where(new, w_idx, s.aux_idx),
-                jnp.where(new, diff, s.aux_diff),
-                jnp.where(new, w_t0, s.aux_t0))
+                apos.where(new_p, s.aux_apos),
+                jnp.where(new_p, w_idx, s.aux_idx),
+                jnp.where(new_p, diff, s.aux_diff),
+                jnp.where(new_p, w_t0, s.aux_t0))
 
     if get_bound is None:
         def run_nobound(s: SegState, mask, merge=False):
@@ -463,10 +491,10 @@ def make_sphere_all(n_spheres: int, get_sphere, math: Math,
         d2xz = rx * rx + rz * rz
         dtxz = rx * s.ray.x + rz * s.ray.z
         l2 = s.ray.x * s.ray.x + s.ray.z * s.ray.z
-        rel = (d2xz - brq2) * l2 < dtxz * dtxz
+        rel = _m((d2xz - brq2) * l2 < dtxz * dtxz)
         if sphere_page is not None:
-            rel = rel & (s.page == sphere_page)
-        rel_bit = jnp.where(rel, 2, 0).astype(s.sph_dirty.dtype)
+            rel = rel & _m(s.page == sphere_page)
+        rel_bit = (rel << 1).astype(s.sph_dirty.dtype)
         # Whole-tile hoist gate: the DIRECTED 3D test - the undirected
         # XZ form fires on a third of the screen (no y or heading
         # constraint) and would run the full pass almost everywhere.
@@ -480,10 +508,9 @@ def make_sphere_all(n_spheres: int, get_sphere, math: Math,
         dt3 = dtxz + ry_ * s.ray.y
         l3 = l2 + s.ray.y * s.ray.y
         dt3sq = dt3 * dt3
-        quick = (rel & ((dt3 > 0.0) | (dt3sq < brq2 * l3))
-                 & ((d2 - brq2) * l3 < dt3sq))
-        anyq = jnp.max(jnp.where(mask & (s.active != 0) & quick,
-                                 1, 0)) > 0
+        quick = (rel & (_m(dt3 > 0.0) | _m(dt3sq < brq2 * l3))
+                 & _m((d2 - brq2) * l3 < dt3sq))
+        anyq = jnp.max(_m(mask) & s.active & quick) > 0
         return jax.lax.cond(
             anyq, lambda op: run_full(op[0], op[1], merge),
             lambda op: (op[0].aux_dist, op[0].aux_apos, op[0].aux_idx,
@@ -644,20 +671,23 @@ def compute_flags(s: SegState, env: Env) -> jnp.ndarray:
     With every set bit implying the active bit, v ∈ {0, 1, 3} and ONE
     cross-lane max IS the bitwise or — the second reduction the old
     bit0-2 encoding needed is gone."""
-    act = s.active != 0
+    act = s.active                   # i32 {0,1} by construction
     f = s.fields
     cls = f.cls
-    ev = act & ((cls == W.PORTAL)
-                | ((cls >= W.RAMP_GT) & (cls <= W.RAMP_CR)))
+    # event cells (portal or ramp) as one i32 bitset probe (_m/_p note)
+    evbits = ((1 << W.PORTAL)
+              | ((1 << (W.RAMP_CR + 1)) - (1 << W.RAMP_GT)))
+    ev = act & ((jnp.int32(evbits) >> cls) & 1)
     if env.sphere_all is not None:
         # fast mode: some lane's hoisted candidates need re-deriving
         # after a line-change event (portal/y-shift/ramp)
-        ev = ev | (act & ((s.sph_dirty & 1) != 0))
+        ev = ev | (act & (s.sph_dirty & 1))
     elif env.sphere_pass is not None:
         # parity mode: some lane stands in a bucketed cell
-        inb = (s.cx >= 0) & (s.cx < 64) & (s.cz >= 0) & (s.cz < 64)
-        ev = ev | (act & inb & (f.has_sph != 0))
-    v = jnp.where(act, 1, 0) | jnp.where(ev, 2, 0)
+        inb = (_m(s.cx >= 0) & _m(s.cx < 64)
+               & _m(s.cz >= 0) & _m(s.cz < 64))
+        ev = ev | (act & inb & f.has_sph)
+    v = act | (ev << 1)
     return jnp.max(v)
 
 
@@ -850,13 +880,18 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig,
     else:
         pout = jax.lax.cond((flags & 2) > 0, ev_calc, ev_skip, s)
 
-    is_floorish = (cls == W.FLOOR) | (cls == W.FOG) | (cls == W.LOWER)
-    is_tall = (cls == W.TALL) | (cls == W.TALLFOG)
-    is_ramp = (cls >= W.RAMP_GT) & (cls <= W.RAMP_CR)
-    is_portal = cls == W.PORTAL
-    is_wall = cls == W.WALL
-    is_fogc = (cls == W.FOG) | (cls == W.TALLFOG)
-    has_aux = s.aux_dist != F32(-1.0)
+    # class predicates as i32 bitset probes - 2 i32 ops each instead of
+    # eq/or chains whose i1 or planes are the expensive class (see the
+    # _m/_p mask-calculus note above)
+    def clsbit(bits, c=cls):
+        return (jnp.int32(bits) >> c) & 1
+    is_floorish = clsbit((1 << W.FLOOR) | (1 << W.FOG) | (1 << W.LOWER))
+    is_tall = clsbit((1 << W.TALL) | (1 << W.TALLFOG))
+    is_ramp = clsbit((1 << (W.RAMP_CR + 1)) - (1 << W.RAMP_GT))
+    is_portal = clsbit(1 << W.PORTAL)
+    is_wall = clsbit(1 << W.WALL)
+    is_fogc = clsbit((1 << W.FOG) | (1 << W.TALLFOG))
+    has_aux = _m(s.aux_dist != F32(-1.0))
     # hoisted spheres gate firing on AABB entry; the cell-driven scan
     # registers only after entry (aux_t0 stays -1 <= aux there)
     fire = (jnp.maximum(s.aux_dist, s.aux_t0)
@@ -904,7 +939,9 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig,
 
     # ---- per-class effective wdist.y (wy_ramp from the event cond) --------
     wy_tall = jnp.where(gy > 0, wy0 + iavel.y, wy0)
-    wy = jnp.where(is_tall, wy_tall, jnp.where(is_ramp, wy_ramp, wy0))
+    is_tall_p, is_ramp_p = _p(is_tall), _p(is_ramp)
+    wy = jnp.where(is_tall_p, wy_tall,
+                   jnp.where(is_ramp_p, wy_ramp, wy0))
 
     # Terminations are RECORDED as masks while the step proceeds (the
     # active set `a` shrinks in the reference's exact priority order)
@@ -913,19 +950,21 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig,
     # values, bit-identical results.
 
     # ---- ramps: sphere exit BEFORE stepping (trace.h:463-468) -------------
-    a = s.active != 0
-    m_presph = a & is_ramp & has_aux & (s.cdist > fire)
-    a = a & ~m_presph
+    a = s.active                       # i32 {0,1} by construction
+    sgt = _m(s.cdist > fire)
+    m_presph = a & is_ramp & has_aux & sgt
+    a = a & (m_presph ^ 1)
 
     # ---- through: min-axis crossing (trace.h:156-184) ----------------------
-    ymin = (wy < wxe) & (wy < wze)
-    xmin = ~ymin & (wxe < wze)
-    zmin = ~ymin & ~xmin
-    t = jnp.where(ymin, wy, jnp.where(xmin, wxe, wze))
-    gsel = jnp.where(is_ramp, gy, gx)  # reference passes gy as gx on ramps
+    ymin = _m(wy < wxe) & _m(wy < wze)
+    xmin = (ymin ^ 1) & _m(wxe < wze)
+    zmin = (ymin | xmin) ^ 1
+    ymin_p, xmin_p = _p(ymin), _p(xmin)
+    t = jnp.where(ymin_p, wy, jnp.where(xmin_p, wxe, wze))
+    gsel = jnp.where(is_ramp_p, gy, gx)  # reference: gy as gx on ramps
     ldir_t = jnp.where(
-        ymin, jnp.where(gy < 0, FYN, FYP),
-        jnp.where(xmin, jnp.where(gsel < 0, FXN, FXP),
+        ymin_p, jnp.where(gy < 0, FYN, FYP),
+        jnp.where(xmin_p, jnp.where(gsel < 0, FXN, FXP),
                   jnp.where(gz < 0, FZN, FZP)))
     marchable = is_floorish | is_tall | is_ramp
     # cdist2/pos2/ldir2 are UNGUARDED: every consumer selects behind a
@@ -939,57 +978,62 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig,
 
     # ---- floor/tall: fog + sphere exit + Y hit (trace.h:302-392) ----------
     ft = a & (is_floorish | is_tall)
-    m_sph2 = ft & has_aux & (cdist2 > fire)
-    extra = jnp.where(is_fogc & (s.aux_dist > s.cdist),
+    m_sph2 = ft & has_aux & _m(cdist2 > fire)
+    extra = jnp.where(_p(is_fogc & _m(s.aux_dist > s.cdist)),
                       s.aux_dist - s.cdist, F32(0.0))
-    a = a & ~m_sph2
+    a = a & (m_sph2 ^ 1)
     ft = a & (is_floorish | is_tall)
-    fog2 = jnp.where(ft & is_fogc, s.fog + (cdist2 - s.cdist), s.fog)
+    fog2 = jnp.where(_p(ft & is_fogc), s.fog + (cdist2 - s.cdist),
+                     s.fog)
 
-    isY2 = (ldir2 == FYN) | (ldir2 == FYP)
+    isY2 = (jnp.int32((1 << FYN) | (1 << FYP)) >> ldir2) & 1
     m_yhit = ft & isY2
-    a = a & ~m_yhit
+    a = a & (m_yhit ^ 1)
 
     # ---- ramp Y hit (trace.h:471-478) --------------------------------------
     ramp_go = a & is_ramp
     m_ryhit = ramp_go & isY2
-    a = a & ~m_ryhit
+    a = a & (m_ryhit ^ 1)
 
     # ---- X/Z continuation: rebase wdist, advance cell ----------------------
     cont = a & marchable
     xstep = cont & xmin
     zstep = cont & zmin
     stepped = xstep | zstep
+    xstep_p, zstep_p = _p(xstep), _p(zstep)
     # non-stepping lanes' sub/wn* are never consumed (every consumer
     # selects behind cont2 <= stepped), so the zstep fallback can be
     # wze instead of 0 - one select fewer, same consumed bits
-    sub = jnp.where(xstep, wxe, wze)
+    sub = jnp.where(xstep_p, wxe, wze)
     # the untaken axis keeps its ORIGINAL crossing clock (a skip on one
     # axis must not advance the other's)
-    wnx = jnp.where(xstep, iavel.x, wx - sub)
+    wnx = jnp.where(xstep_p, iavel.x, wx - sub)
     wny = wy - sub
-    wnz = jnp.where(zstep, iavel.z, wz - sub)
+    wnz = jnp.where(zstep_p, iavel.z, wz - sub)
     # tall: restore the ceiling-shift (trace.h:392)
-    wny = jnp.where(stepped & is_tall & (gy > 0), wny - iavel.y, wny)
+    wny = jnp.where(_p(stepped & is_tall & _m(gy > 0)),
+                    wny - iavel.y, wny)
     if use_skip:
-        cx2 = s.cx + jnp.where(xstep, gx * (1 + kx), 0)
-        cz2 = s.cz + jnp.where(zstep, gz * (1 + kz), 0)
+        cx2 = s.cx + jnp.where(xstep_p, gx * (1 + kx), 0)
+        cz2 = s.cz + jnp.where(zstep_p, gz * (1 + kz), 0)
     else:
-        cx2 = s.cx + jnp.where(xstep, gx, 0)
-        cz2 = s.cz + jnp.where(zstep, gz, 0)
+        cx2 = s.cx + jnp.where(xstep_p, gx, 0)
+        cz2 = s.cz + jnp.where(zstep_p, gz, 0)
 
     # ramp: recompute ldir from tilted ray, untilt, recompute wdist.y
     ldir3 = jnp.where(
-        ramp_go & xstep, jnp.where(ray2.x < 0.0, FXN, FXP),
-        jnp.where(ramp_go & zstep, jnp.where(ray2.z < 0.0, FZN, FZP),
+        _p(ramp_go & xstep), jnp.where(ray2.x < 0.0, FXN, FXP),
+        jnp.where(_p(ramp_go & zstep),
+                  jnp.where(ray2.z < 0.0, FZN, FZP),
                   ldir2))
-    ray_y3 = jnp.where(ramp_go & stepped, ray_y2 - tilt, ray_y2)
+    rgs_p = _p(ramp_go & stepped)
+    ray_y3 = jnp.where(rgs_p, ray_y2 - tilt, ray_y2)
     # non-ramp lanes: ray_y3 == ray_y2 == ray.y bit-exactly (tilt is
     # +-0 there, see ray_y2), so the old is_ramp select was an identity
     ray3 = V3(ray2.x, ray_y3, ray2.z)
     wy_post = jnp.where(ray_y3 >= 0.0, F32(1.0) - pos2.y, pos2.y) \
         * iavel.y
-    wny = jnp.where(ramp_go & stepped, wy_post, wny)
+    wny = jnp.where(rgs_p, wy_post, wny)
 
     # ---- portal traversal targets (trace.h:507-650): computed in the
     # merged rare-event branch above (pout), small ints packed - the
@@ -1005,21 +1049,22 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig,
     # pages <= 16 (worlddev build assert), so dpage is bits 18-21 and
     # bit 22 is free for the sphere-relevance bit (fire above)
     page_f = ((w >> 18) & 0xF) if env.paged else None
-    pgo = a & is_portal & (pkind == 1)
+    pgo = a & is_portal & ((jnp.int32(1 << 1) >> pkind) & 1)
+    pgo_p = _p(pgo)
 
     # ---- the ONE per-step fetch: landing cell of steppers & portal rays --
     # cx2 == s.cx bitwise for non-steppers (the xstep select adds 0),
     # so the old where(stepped, cx2, s.cx) was an identity; same for cz
-    tgt_cx = jnp.where(pgo, cx_f, cx2)
-    tgt_cz = jnp.where(pgo, cz_f, cz2)
-    tgt_pg = (jnp.where(pgo, page_f, s.page) if env.paged else None)
+    tgt_cx = jnp.where(pgo_p, cx_f, cx2)
+    tgt_cz = jnp.where(pgo_p, cz_f, cz2)
+    tgt_pg = (jnp.where(pgo_p, page_f, s.page) if env.paged else None)
     # move: the lanes that CONSUME f_next this step.  Every consumer
     # below is gated behind stepped (tr1/tr2/chk/revert/m_wall2 and the
     # transition reads of ncls/xc) or pgo (pgo itself; cont2/pgo2 are
     # subsets), so a fetch may return anything for other lanes - the
     # pallas backend's mover-window fetch exploits this
     # (cfg.span_fetch; tools/fetch_span.py sizes it).
-    f_next = env.fetch(tgt_cx, tgt_cz, tgt_pg, move=stepped | pgo)
+    f_next = env.fetch(tgt_cx, tgt_cz, tgt_pg, move=_p(stepped | pgo))
     if cfg.probe == "fetch2x":
         # probe: a SECOND full fetch at a runtime-equal index.  ozi is
         # 0 at runtime but data-opaque, so the duplicate's gathers
@@ -1028,54 +1073,58 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig,
         opq = s.cdist > F32(-1e30)
         ozi = jnp.where(opq, 0, 1).astype(tgt_cz.dtype)
         f_dup = env.fetch(tgt_cx, tgt_cz + ozi, tgt_pg,
-                          move=stepped | pgo)
+                          move=_p(stepped | pgo))
         f_next = CellFields(ent=jnp.where(opq, f_next.ent, f_dup.ent))
 
     # ---- transitions (floor<->tall shifts) --------------------------------
     f2 = f_next
     ncls = f2.cls
-    n_tall = (ncls == W.TALL) | (ncls == W.TALLFOG)
-    n_lower = ncls == W.LOWER
+    n_tall = clsbit((1 << W.TALL) | (1 << W.TALLFOG), ncls)
+    n_lower = clsbit(1 << W.LOWER, ncls)
 
     pos3y = pos2.y
     # '"' -> '#/&' (trace.h:343-351)
-    tr1 = stepped & (cls == W.LOWER) & n_tall
-    pos3y = jnp.where(tr1, pos3y + F32(1.0), pos3y)
-    wny = jnp.where(tr1, jnp.where(gy < 0, wny + iavel.y, wny - iavel.y),
+    tr1 = stepped & clsbit(1 << W.LOWER) & n_tall
+    tr1_p = _p(tr1)
+    pos3y = jnp.where(tr1_p, pos3y + F32(1.0), pos3y)
+    wny = jnp.where(tr1_p,
+                    jnp.where(gy < 0, wny + iavel.y, wny - iavel.y),
                     wny)
     # '#/&' -> '"' (trace.h:395-402)
     tr2 = stepped & is_tall & n_lower
-    pos3y = jnp.where(tr2, pos3y - F32(1.0), pos3y)
-    wny = jnp.where(tr2, jnp.where(gy > 0, wny + iavel.y, wny - iavel.y),
+    tr2_p = _p(tr2)
+    pos3y = jnp.where(tr2_p, pos3y - F32(1.0), pos3y)
+    wny = jnp.where(tr2_p,
+                    jnp.where(gy > 0, wny + iavel.y, wny - iavel.y),
                     wny)
 
     # '#/&': 2-high wall check with behind-cell substitution
     # (trace.h:404-440)
     xc = f2.xcls2
-    y_out = (pos3y < F32(0.0)) | (pos3y > F32(1.0))
+    y_out = _m(pos3y < F32(0.0)) | _m(pos3y > F32(1.0))
     chk = stepped & is_tall & y_out
-    xc_tall = xc == 1
-    xc_low = xc == 2
-    revert = chk & xc_low
-    pos3y = jnp.where(revert, pos3y + F32(1.0), pos3y)
-    wny = jnp.where(revert,
+    revert = chk & ((jnp.int32(1 << 2) >> xc) & 1)      # xc == 2
+    revert_p = _p(revert)
+    pos3y = jnp.where(revert_p, pos3y + F32(1.0), pos3y)
+    wny = jnp.where(revert_p,
                     jnp.where(gy > 0, wny - iavel.y, wny + iavel.y), wny)
     pos3 = V3(pos2.x, pos3y, pos2.z)
-    m_wall2 = chk & ~xc_tall
-    a = a & ~m_wall2
+    m_wall2 = chk & (((jnp.int32(1 << 1) >> xc) & 1) ^ 1)  # xc != 1
+    a = a & (m_wall2 ^ 1)
 
     # ---- portal cells (trace.h:507-650) + plain wall (trace.h:651-664) ----
-    p_bad = a & is_portal & (pkind == 2)
-    p_wrong = a & is_portal & (pkind == 3)
+    p_bad = a & is_portal & ((jnp.int32(1 << 2) >> pkind) & 1)
+    p_wrong = a & is_portal & ((jnp.int32(1 << 3) >> pkind) & 1)
     wall0 = a & is_wall
-    sphfire = has_aux & (s.cdist > fire)
+    sphfire = has_aux & sgt
+    nsf = sphfire ^ 1
     m_pbs = p_bad & sphfire
-    m_pbw = p_bad & ~sphfire
+    m_pbw = p_bad & nsf
     m_pws = p_wrong & sphfire
-    m_pww = p_wrong & ~sphfire
+    m_pww = p_wrong & nsf
     m_sphw = wall0 & sphfire
-    m_wallm = wall0 & ~sphfire
-    a = a & ~(p_bad | p_wrong | wall0)
+    m_wallm = wall0 & nsf
+    a = a & ((p_bad | p_wrong | wall0) ^ 1)
 
     # ---- merged terminal + survivor writes (values identical to the
     # per-site _terminate calls they replace; see the masks above).
@@ -1091,53 +1140,65 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig,
     ldir_ry = jnp.where(ray_y2 < 0.0, FYN, FYP)
     cont2 = a & stepped
     pgo2 = a & pgo
+    # select predicates, one cheap compare per mask (the _m/_p note)
+    term_p, sphm_p = _p(term), _p(sphm)
+    m_yhit_p, m_ryhit_p = _p(m_yhit), _p(m_ryhit)
+    my2_p, m_wall2_p = _p(my2), _p(m_wall2)
+    cont2_p, pgo2_p = _p(cont2), _p(pgo2)
+    cn_p = _p(cont2 | near)
+    cw_p = _p(cont2 | m_wall2)
     colid = jnp.where(
-        m_yhit, jnp.where(gy > 0, C_CEIL, C_FLOOR),
-        jnp.where(m_ryhit, jnp.where(ray_y2 >= 0.0, C_CEIL, C_FLOOR),
-                  jnp.where(m_pww, C_MAGENTA,
-                            jnp.where(m_wallm & (s.ldir == FYP),
+        m_yhit_p, jnp.where(gy > 0, C_CEIL, C_FLOOR),
+        jnp.where(m_ryhit_p,
+                  jnp.where(ray_y2 >= 0.0, C_CEIL, C_FLOOR),
+                  jnp.where(_p(m_pww), C_MAGENTA,
+                            jnp.where(_p(m_wallm
+                                         & clsbit(1 << FYP, s.ldir)),
                                       C_CEIL, C_WALL))))
     new_tmeta = jnp.where(
-        term, jnp.where(sphm, T_SPHERE, T_WALL | (colid << 2)),
+        term_p, jnp.where(sphm_p, T_SPHERE, T_WALL | (colid << 2)),
         s.tmeta)
     # pos: survivors advance to pos3; near-wall deaths record the hit
     # point (pos3.x/z == pos2.x/z; y differs per case via the shifts)
     new_pos = V3(
-        jnp.where(pgo2, px_f,
-                  jnp.where(cont2 | near, pos3.x, pos.x)),
-        jnp.where(cont2 | m_wall2, pos3.y,
-                  jnp.where(my2, pos2.y, pos.y)),
-        jnp.where(pgo2, pz_f,
-                  jnp.where(cont2 | near, pos3.z, pos.z)))
+        jnp.where(pgo2_p, px_f,
+                  jnp.where(cn_p, pos3.x, pos.x)),
+        jnp.where(cw_p, pos3.y,
+                  jnp.where(my2_p, pos2.y, pos.y)),
+        jnp.where(pgo2_p, pz_f,
+                  jnp.where(cn_p, pos3.z, pos.z)))
     # ray: only the ramp-tilted terminals (pre-sphere, ramp Y hit)
     # differ from the carried ray, and only in y; ray3.x/z == ray.x/z
     # bitwise (the tilt touches y alone), so the cont2 selects on the
     # x/z components were identities
-    new_ray = V3(jnp.where(pgo2, vx_r, ray.x),
-                 jnp.where(cont2, ray3.y,
-                           jnp.where(m_presph | m_ryhit, ray_y2,
+    new_ray = V3(jnp.where(pgo2_p, vx_r, ray.x),
+                 jnp.where(cont2_p, ray3.y,
+                           jnp.where(_p(m_presph | m_ryhit), ray_y2,
                                      ray.y)),
-                 jnp.where(pgo2, vz_r, ray.z))
-    new_wd = V3(jnp.where(pgo2, wx_r, jnp.where(cont2, wnx, wdist.x)),
-                jnp.where(cont2, wny, wdist.y),
-                jnp.where(pgo2, wz_r, jnp.where(cont2, wnz, wdist.z)))
-    new_ia = V3(jnp.where(pgo2, ix_r, iavel.x), iavel.y,
-                jnp.where(pgo2, iz_r, iavel.z))
-    new_gx = jnp.where(pgo2, gx_r, gx)
-    new_gz = jnp.where(pgo2, gz_r, gz)
-    new_cx = jnp.where(cont2, cx2, jnp.where(pgo2, cx_f, s.cx))
-    new_cz = jnp.where(cont2, cz2, jnp.where(pgo2, cz_f, s.cz))
-    new_cd = jnp.where(cont2 | near, cdist2,
-                       jnp.where(sphm, s.aux_dist, s.cdist))
-    new_fog = jnp.where(cont2 | m_yhit | m_wall2, fog2,
-                        jnp.where(m_sph2, s.fog + extra, s.fog))
+                 jnp.where(pgo2_p, vz_r, ray.z))
+    new_wd = V3(jnp.where(pgo2_p, wx_r,
+                          jnp.where(cont2_p, wnx, wdist.x)),
+                jnp.where(cont2_p, wny, wdist.y),
+                jnp.where(pgo2_p, wz_r,
+                          jnp.where(cont2_p, wnz, wdist.z)))
+    new_ia = V3(jnp.where(pgo2_p, ix_r, iavel.x), iavel.y,
+                jnp.where(pgo2_p, iz_r, iavel.z))
+    new_gx = jnp.where(pgo2_p, gx_r, gx)
+    new_gz = jnp.where(pgo2_p, gz_r, gz)
+    new_cx = jnp.where(cont2_p, cx2, jnp.where(pgo2_p, cx_f, s.cx))
+    new_cz = jnp.where(cont2_p, cz2, jnp.where(pgo2_p, cz_f, s.cz))
+    new_cd = jnp.where(cn_p, cdist2,
+                       jnp.where(sphm_p, s.aux_dist, s.cdist))
+    new_fog = jnp.where(_p(cont2 | m_yhit | m_wall2), fog2,
+                        jnp.where(_p(m_sph2), s.fog + extra, s.fog))
     # wall2 lanes are tall (never ramp), so their ldir3 == ldir2
-    new_ld = jnp.where(cont2, ldir3,
-                       jnp.where(pgo2, ldir_p,
-                                 jnp.where(m_ryhit, ldir_ry,
-                                           jnp.where(m_yhit | m_wall2,
+    new_ld = jnp.where(cont2_p, ldir3,
+                       jnp.where(pgo2_p, ldir_p,
+                                 jnp.where(m_ryhit_p, ldir_ry,
+                                           jnp.where(_p(m_yhit
+                                                        | m_wall2),
                                                      ldir2, s.ldir))))
-    new_f = _sel_fields(cont2 | pgo2, f_next, f)
+    new_f = _sel_fields(_p(cont2 | pgo2), f_next, f)
 
     # ---- measurement-only calibration pads (see RenderConfig.probe) ----
     if cfg.probe in ("pad64", "pad64d", "sel64", "bool128", "int128",
@@ -1164,7 +1225,8 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig,
         elif cfg.probe == "sel64":
             # 8 independent 8-deep select chains on live masks/values
             # (64 select planes) - select-vs-fma issue cost
-            ms = [xstep, zstep, term, pgo2, cont2, my2, ymin, xmin]
+            ms = [_p(x) for x in (xstep, zstep, term, pgo2, cont2,
+                                  my2, ymin, xmin)]
             vs = [pos.x, pos.y, pos.z, ray.x, ray.y, ray.z, wx, wz]
             acc = None
             for j, v in enumerate(vs):
@@ -1175,18 +1237,18 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig,
             new_fog = jnp.where(opq, new_fog, acc)
         elif cfg.probe == "int128":
             # the bool128 chains on i32 {0,1} masks (16 one-off
-            # converts, then 128 i32 bitwise planes): if this costs
-            # ~f32-rate while bool128 costs ~14x it (the r5 ladder),
-            # the body's i1 mask logic should move to i32 words
-            ms = [xstep, zstep, term, pgo2, cont2, my2, ymin, xmin]
-            ns = [is_wall, is_tall, is_ramp, is_portal, ft, near,
-                  sphm, wallT]
-            mi = [jnp.where(m, 1, 0) for m in ms]
-            ni = [jnp.where(n, 1, 0) for n in ns]
+            # converts, then 128 i32 bitwise planes): measured +0.61
+            # ms vs bool128's +2.77 - the verdict that moved the
+            # body's mask logic to i32 words (the _m/_p calculus)
+            ms = [_m(_p(x)) for x in (xstep, zstep, term, pgo2, cont2,
+                                      my2, ymin, xmin)]
+            ns = [_m(_p(x)) for x in (is_wall, is_tall, is_ramp,
+                                      is_portal, ft, near, sphm,
+                                      wallT)]
             acc = None
-            for m in mi:
+            for m in ms:
                 u = m
-                for n in ni:
+                for n in ns:
                     u = u ^ (m & n)
                 acc = u if acc is None else acc | u
             new_tmeta = jnp.where(opq, new_tmeta,
@@ -1204,9 +1266,10 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig,
                 acc = u if acc is None else acc + u
             new_fog = jnp.where(opq, new_fog, acc)
         else:  # bool128: 64 and + 64 xor on live i1 mask planes
-            ms = [xstep, zstep, term, pgo2, cont2, my2, ymin, xmin]
-            ns = [is_wall, is_tall, is_ramp, is_portal, ft, near,
-                  sphm, wallT]
+            ms = [_p(x) for x in (xstep, zstep, term, pgo2, cont2,
+                                  my2, ymin, xmin)]
+            ns = [_p(x) for x in (is_wall, is_tall, is_ramp,
+                                  is_portal, ft, near, sphm, wallT)]
             acc = None
             for m in ms:
                 u = m
@@ -1219,11 +1282,13 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig,
     s = s._replace(pos=new_pos, ray=new_ray, wdist=new_wd, iavel=new_ia,
                    fields=new_f,
                    gx=new_gx, gz=new_gz, cx=new_cx, cz=new_cz,
-                   page=(jnp.where(pgo2, page_f, s.page)
+                   page=(jnp.where(pgo2_p, page_f, s.page)
                          if env.paged else None),
                    cdist=new_cd, fog=new_fog, ldir=new_ld,
                    tmeta=new_tmeta,
-                   active=jnp.where(term, 0, s.active))
+                   # pure i32 form of where(term, 0, active): active
+                   # is {0,1}, so masking clears exactly term lanes
+                   active=s.active & (term ^ 1))
 
     # hoisted-sphere mode: candidates are a function of the ray LINE, so
     # any event that moves a lane off its line - portal rotation, the
@@ -1241,10 +1306,10 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig,
         # see a sphere (relevance bit, shift-invariant); a pending
         # candidate implies the bit, so the drop logic is unaffected
         ev_shift = (stepped & (tr1 | tr2 | ramp_go)
-                    & ((s.sph_dirty & 2) != 0))
+                    & ((s.sph_dirty >> 1) & 1))
         ev = pgo2 | ev_shift
-        drop = (ev & (s.aux_dist != F32(-1.0))
-                & (s.cdist < s.aux_t0))
+        drop = (ev & _m(s.aux_dist != F32(-1.0))
+                & _m(s.cdist < s.aux_t0))
         if env.sphere_rel is not None:
             # portal lanes land on a NEW line: its relevance was
             # computed inline in the event cond (fire, bit 22 of w)
@@ -1260,19 +1325,20 @@ def segment_body(s: SegState, env: Env, cfg: RenderConfig,
         else:
             dirty_p = s.sph_dirty | 1
         s = s._replace(
-            sph_dirty=jnp.where(pgo2, dirty_p,
-                                jnp.where(ev_shift, s.sph_dirty | 1,
+            sph_dirty=jnp.where(pgo2_p, dirty_p,
+                                jnp.where(_p(ev_shift),
+                                          s.sph_dirty | 1,
                                           s.sph_dirty)),
-            aux_dist=jnp.where(drop, F32(-1.0), s.aux_dist))
+            aux_dist=jnp.where(_p(drop), F32(-1.0), s.aux_dist))
 
     # ---- end-of-iteration sphere check (trace.h:668-673) ------------------
     # `fire` (the pre-write max(aux_dist, aux_t0)) is still current
     # here: the body changes aux_dist only via `drop` (to -1, and those
     # lanes are excluded by the != -1 test) and never touches aux_t0,
     # so reusing it is bit-identical to recomputing the max.
-    end_sph = ((s.active != 0) & (s.aux_dist != F32(-1.0))
-               & (s.cdist > fire))
-    s = _terminate(s, end_sph, T_SPHERE, dist=s.aux_dist)
+    end_sph = (s.active & _m(s.aux_dist != F32(-1.0))
+               & _m(s.cdist > fire))
+    s = _terminate(s, _p(end_sph), T_SPHERE, dist=s.aux_dist)
     return s
 
 
