@@ -8,18 +8,25 @@ indexing, '#' length), functions and closures, multiple assignment with
 call expansion, local scoping, if/elseif/while/repeat/numeric-for/
 generic-for (pairs/ipairs), operators (arith, %, ^, comparison, and/or/
 not, ..), stdlib subset (math.*, string.format/len/sub/rep/upper/lower/
-byte/char, table.insert/remove/concat, print, tostring, tonumber, type,
-pairs/ipairs, pcall, error, assert, unpack, select, raw*), metatables
+byte/char/reverse, the full Lua 5.1 pattern language (string.find/
+match/gmatch/gsub with classes, sets, captures incl. position captures,
+%1-%9 back-references, %bxy, %f[set], anchors, all four quantifiers),
+coroutines (create/resume/yield/status/running/wrap; thread-backed,
+one runner at a time), loadstring/load, os.time/clock/date/getenv,
+io.write/read, table.insert/remove/concat, print, tostring, tonumber,
+type, pairs/ipairs, pcall, error, assert, unpack, select, raw*),
+metatables
 (set/getmetatable with the 5.1 core metamethods: __index/__newindex
 chains, __call, __tostring, __eq/__lt/__le, __add/__sub/__mul/__div/
 __mod/__pow/__unm/__concat, __metatable protection), ':'-method calls
 and `function t:m()` definition sugar, and string methods via ':'
 (strings index the string library, as stock 5.1's string metatable).
 
-Deliberately out of scope (documented): coroutines, goto/labels,
-io/os/loadstring/require, string.find/match/gsub (pattern matching),
-__len on tables (5.1 honours it only for userdata), weak tables/__gc.
-Scripts needing those belong in the Python scripting frontend.
+Deliberately out of scope (documented): goto/labels (5.2+ anyway),
+require/module, io beyond write/read (files), os beyond
+time/clock/date/getenv, string.dump, __len on tables (5.1 honours it
+only for userdata), weak tables/__gc.  Scripts needing those belong
+in the Python scripting frontend.
 """
 
 from __future__ import annotations
@@ -517,6 +524,23 @@ def _stdlib():
     st.set("lower", lambda s: s.lower())
     st.set("byte", lambda s, i=1.0: float(ord(s[int(i) - 1])))
     st.set("char", lambda *a: "".join(chr(int(c)) for c in a))
+    st.set("reverse", lambda s: s[::-1])
+    st.set("find", _string_find)
+    st.set("match", _string_match)
+    st.set("gmatch", _string_gmatch)
+    # string.gsub is installed by Interp (function repls need _call)
+
+    ot = LuaTable()
+    ot.set("time", lambda t=None: float(int(_time.time())))
+    ot.set("clock", lambda: float(_time.process_time()))
+    ot.set("date", lambda fmt="%c", t=None: _time.strftime(
+        lua_tostring(fmt).lstrip("*!"),
+        _time.localtime(None if t is None else float(t))))
+    ot.set("getenv", lambda n: _os_mod.environ.get(lua_tostring(n)))
+
+    it = LuaTable()
+    it.set("write", _io_write)
+    it.set("read", _io_read)
 
     tt = LuaTable()
     tt.set("insert", _table_insert)
@@ -524,7 +548,7 @@ def _stdlib():
     tt.set("concat", _table_concat)
 
     g = {
-        "math": mt, "string": st, "table": tt,
+        "math": mt, "string": st, "table": tt, "os": ot, "io": it,
         "print": lambda *a: print("\t".join(lua_tostring(x) for x in a)),
         "tostring": lua_tostring,
         "tonumber": _tonumber,
@@ -573,8 +597,31 @@ def _select(n, *args):
 
 
 import random as _random_mod  # noqa: E402
+import os as _os_mod          # noqa: E402
+import sys as _sys_mod        # noqa: E402
+import time as _time          # noqa: E402
 
 _rng = _random_mod.Random(0)
+
+
+def _io_write(*args):
+    for a in args:
+        if not isinstance(a, (str, float, int)):
+            raise LuaError("bad argument to 'write' (string expected)")
+        _sys_mod.stdout.write(lua_tostring(a))
+
+
+def _io_read(fmt="*l"):
+    fmt = lua_tostring(fmt).lstrip("*")
+    if fmt == "a":
+        return _sys_mod.stdin.read()
+    line = _sys_mod.stdin.readline()
+    if not line:
+        return None
+    if fmt == "n":
+        v = _tonumber(line.strip())
+        return v
+    return line.rstrip("\n")
 
 
 def _math_random(m=None, n=None):
@@ -633,6 +680,489 @@ def _string_sub(s, i, j):
     return s[i - 1:j] if i <= j else ""
 
 
+# ------------------------------------------------ Lua 5.1 patterns
+# Backtracking matcher implementing the Lua 5.1 pattern language
+# (classes, sets, ranges, captures incl. position captures, %1-%9
+# back-references, %bxy balanced match, %f[set] frontier, anchors,
+# and the four quantifiers * + - ?).  Byte-oriented like the
+# reference's embedded Lua (script.h:75-77 opens the full stdlib);
+# standard public semantics, implemented from the language spec.
+
+_PUNCT = set("!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~")
+
+
+def _cls_match(ch, cl):
+    o = ord(ch)
+    low = cl.lower()
+    if low == "a":
+        r = (65 <= o <= 90) or (97 <= o <= 122)
+    elif low == "c":
+        r = o < 32 or o == 127
+    elif low == "d":
+        r = 48 <= o <= 57
+    elif low == "l":
+        r = 97 <= o <= 122
+    elif low == "p":
+        r = ch in _PUNCT
+    elif low == "s":
+        r = ch in " \t\n\r\f\v"
+    elif low == "u":
+        r = 65 <= o <= 90
+    elif low == "w":
+        r = (48 <= o <= 57) or (65 <= o <= 90) or (97 <= o <= 122)
+    elif low == "x":
+        r = ch in "0123456789abcdefABCDEF"
+    elif low == "z":
+        r = o == 0
+    else:
+        return ch == cl          # escaped literal (%., %%, %( ...)
+    return r if cl.islower() else not r
+
+
+def _cls_end(p, pi):
+    """Index just past the single class starting at p[pi]."""
+    c = p[pi]
+    if c == "%":
+        if pi + 1 >= len(p):
+            raise LuaError("malformed pattern (ends with '%')")
+        return pi + 2
+    if c == "[":
+        pi += 1
+        if pi < len(p) and p[pi] == "^":
+            pi += 1
+        if pi < len(p) and p[pi] == "]":   # first ']' is literal
+            pi += 1
+        while pi < len(p) and p[pi] != "]":
+            pi += 2 if p[pi] == "%" else 1
+        if pi >= len(p):
+            raise LuaError("malformed pattern (missing ']')")
+        return pi + 1
+    return pi + 1
+
+
+def _set_match(ch, p, pi, ep):
+    """Match ch against the set p[pi:ep] ('[...]')."""
+    pi += 1
+    neg = False
+    if p[pi] == "^":
+        neg = True
+        pi += 1
+    r = False
+    while pi < ep - 1:
+        if p[pi] == "%":
+            if _cls_match(ch, p[pi + 1]):
+                r = True
+            pi += 2
+        elif pi + 2 < ep - 1 and p[pi + 1] == "-":
+            if p[pi] <= ch <= p[pi + 2]:
+                r = True
+            pi += 3
+        else:
+            if p[pi] == ch:
+                r = True
+            pi += 1
+    return r != neg
+
+
+def _single_match(ch, p, pi, ep):
+    c = p[pi]
+    if c == ".":
+        return True
+    if c == "%":
+        return _cls_match(ch, p[pi + 1])
+    if c == "[":
+        return _set_match(ch, p, pi, ep)
+    return ch == c
+
+
+def _pat_match(s, si, p, pi, caps):
+    """Match p[pi:] against s[si:]; returns the end index or None.
+    caps: list of [start, len] (len -1 = position capture,
+    -2 = unclosed)."""
+    while True:
+        if pi >= len(p):
+            return si
+        c = p[pi]
+        if c == "(":
+            if pi + 1 < len(p) and p[pi + 1] == ")":
+                caps.append([si, -1])
+                r = _pat_match(s, si, p, pi + 2, caps)
+                if r is None:
+                    caps.pop()
+                return r
+            caps.append([si, -2])
+            r = _pat_match(s, si, p, pi + 1, caps)
+            if r is None:
+                caps.pop()
+            return r
+        if c == ")":
+            for cap in reversed(caps):
+                if cap[1] == -2:
+                    cap[1] = si - cap[0]
+                    r = _pat_match(s, si, p, pi + 1, caps)
+                    if r is None:
+                        cap[1] = -2
+                    return r
+            raise LuaError("invalid pattern capture")
+        if c == "$" and pi + 1 == len(p):
+            return si if si == len(s) else None
+        if c == "%" and pi + 1 < len(p):
+            nc = p[pi + 1]
+            if nc == "b":
+                if pi + 3 >= len(p):
+                    raise LuaError("missing arguments to '%b'")
+                x, y = p[pi + 2], p[pi + 3]
+                if si >= len(s) or s[si] != x:
+                    return None
+                bal = 1
+                i = si + 1
+                while i < len(s):
+                    if s[i] == y:
+                        bal -= 1
+                        if bal == 0:
+                            si, pi = i + 1, pi + 4
+                            break
+                    elif s[i] == x:
+                        bal += 1
+                    i += 1
+                else:
+                    return None
+                continue
+            if nc == "f":
+                if pi + 2 >= len(p) or p[pi + 2] != "[":
+                    raise LuaError("missing '[' after '%f' in pattern")
+                ep = _cls_end(p, pi + 2)
+                prev = s[si - 1] if si > 0 else "\0"
+                cur = s[si] if si < len(s) else "\0"
+                if (not _single_match(prev, p, pi + 2, ep)
+                        and _single_match(cur, p, pi + 2, ep)):
+                    pi = ep
+                    continue
+                return None
+            if nc.isdigit():
+                idx = int(nc) - 1
+                if idx >= len(caps) or caps[idx][1] < 0:
+                    raise LuaError(f"invalid capture index %{nc}")
+                cs, cl_ = caps[idx]
+                sub = s[cs:cs + cl_]
+                if s.startswith(sub, si):
+                    si += len(sub)
+                    pi += 2
+                    continue
+                return None
+        ep = _cls_end(p, pi)
+        m = si < len(s) and _single_match(s[si], p, pi, ep)
+        q = p[ep] if ep < len(p) else None
+        if q == "?":
+            if m:
+                r = _pat_match(s, si + 1, p, ep + 1, caps)
+                if r is not None:
+                    return r
+            pi = ep + 1
+            continue
+        if q == "+":
+            si += 1
+            if not m:
+                return None
+            q = "*"       # fall through to greedy expansion
+        if q == "*":
+            n = 0
+            while si + n < len(s) and _single_match(s[si + n], p, pi,
+                                                    ep):
+                n += 1
+            while n >= 0:
+                r = _pat_match(s, si + n, p, ep + 1, caps)
+                if r is not None:
+                    return r
+                n -= 1
+            return None
+        if q == "-":
+            while True:
+                r = _pat_match(s, si, p, ep + 1, caps)
+                if r is not None:
+                    return r
+                if si < len(s) and _single_match(s[si], p, pi, ep):
+                    si += 1
+                else:
+                    return None
+        if not m:
+            return None
+        si += 1
+        pi = ep
+
+
+def _cap_values(s, si, ei, caps):
+    """Lua capture values; the whole match when there are none."""
+    if not caps:
+        return (s[si:ei],)
+    out = []
+    for cs, cl_ in caps:
+        if cl_ == -1:                       # position capture
+            out.append(float(cs + 1))
+        elif cl_ < 0:
+            raise LuaError("unfinished capture")
+        else:
+            out.append(s[cs:cs + cl_])
+    return tuple(out)
+
+
+def _pat_init(s, init):
+    n = len(s)
+    i = int(init)
+    if i < 0:
+        i = max(n + i + 1, 1)
+    elif i == 0:
+        i = 1
+    return min(i - 1, n)                    # 0-based start offset
+
+
+def _pat_search(s, pat, si0):
+    """First match of pat in s at/after si0: (si, ei, caps) or None."""
+    anchored = pat.startswith("^")
+    p0 = 1 if anchored else 0
+    si = si0
+    while True:
+        caps = []
+        r = _pat_match(s, si, pat, p0, caps)
+        if r is not None:
+            return si, r, caps
+        si += 1
+        if anchored or si > len(s):
+            return None
+
+
+def _string_find(s, pat, init=1.0, plain=None):
+    s, pat = lua_tostring(s), lua_tostring(pat)
+    si0 = _pat_init(s, init)
+    if plain:
+        k = s.find(pat, si0)
+        if k < 0:
+            return None
+        return (float(k + 1), float(k + len(pat)))
+    m = _pat_search(s, pat, si0)
+    if m is None:
+        return None
+    si, ei, caps = m
+    out = (float(si + 1), float(ei))
+    return out + _cap_values(s, si, ei, caps) if caps else out
+
+
+def _string_match(s, pat, init=1.0):
+    s, pat = lua_tostring(s), lua_tostring(pat)
+    m = _pat_search(s, pat, _pat_init(s, init))
+    if m is None:
+        return None
+    si, ei, caps = m
+    v = _cap_values(s, si, ei, caps)
+    return v if len(v) > 1 else v[0]
+
+
+def _string_gmatch(s, pat):
+    s, pat = lua_tostring(s), lua_tostring(pat)
+    pos = [0]
+
+    def nxt(*_):
+        while pos[0] <= len(s):
+            caps = []
+            r = _pat_match(s, pos[0], pat, 0, caps)
+            if r is not None:
+                si = pos[0]
+                pos[0] = r + 1 if r == si else r   # empty match: step
+                return _cap_values(s, si, r, caps)
+            pos[0] += 1
+        return None
+    return nxt
+
+
+def _string_gsub(call, s, pat, repl, n=None):
+    """string.gsub; `call` is the interpreter's _call (function repls
+    can be Lua closures)."""
+    s, pat = lua_tostring(s), lua_tostring(pat)
+    if isinstance(repl, (float, int)):     # 5.1 coerces number repls
+        repl = lua_tostring(repl)
+    limit = float("inf") if n is None else int(n)
+    anchored = pat.startswith("^")
+    p0 = 1 if anchored else 0
+    out = []
+    si = 0
+    count = 0
+    while count < limit:
+        caps = []
+        r = _pat_match(s, si, pat, p0, caps)
+        if r is not None:
+            count += 1
+            whole = s[si:r]
+            vals = _cap_values(s, si, r, caps)
+            if isinstance(repl, str):
+                rep = []
+                i = 0
+                while i < len(repl):
+                    ch = repl[i]
+                    if ch == "%" and i + 1 < len(repl):
+                        d = repl[i + 1]
+                        if d == "%":
+                            rep.append("%")
+                        elif d == "0":
+                            rep.append(whole)
+                        elif d.isdigit():
+                            k = int(d) - 1
+                            if k >= len(vals):
+                                raise LuaError(
+                                    f"invalid capture index %{d}")
+                            rep.append(lua_tostring(vals[k]))
+                        else:
+                            raise LuaError(
+                                "invalid use of '%' in replacement "
+                                "string")
+                        i += 2
+                    else:
+                        rep.append(ch)
+                        i += 1
+                out.append("".join(rep))
+            else:
+                if isinstance(repl, LuaTable):
+                    v = repl.get(vals[0])
+                else:
+                    v = call(repl, list(vals))
+                    if isinstance(v, tuple):
+                        v = v[0] if v else None
+                if v is None or v is False:
+                    out.append(whole)
+                elif isinstance(v, (str, float, int)):
+                    out.append(lua_tostring(v))
+                else:
+                    raise LuaError("invalid replacement value (a "
+                                   + _lua_type(v) + ")")
+        if r is not None and r > si:
+            si = r
+        else:                       # empty match (or no match): step
+            if si < len(s):
+                out.append(s[si])
+            si += 1
+        if si > len(s) or anchored:
+            break
+    out.append(s[si:])
+    return ("".join(out), float(count))
+
+
+# ------------------------------------------------ coroutines
+# Thread-backed Lua 5.1 coroutines: only one of (resumer, coroutine)
+# runs at a time (hand-off via semaphores), so interpreter state is
+# never concurrently touched; threads are daemonic so an abandoned
+# suspended coroutine cannot hang the host process.
+import threading as _threading   # noqa: E402
+
+_CO_TLS = _threading.local()     # .current = running LuaCoroutine
+
+
+class LuaCoroutine:
+    __slots__ = ("fn", "call", "status", "_resume", "_yield", "_xfer",
+                 "_err", "_thread")
+
+    def __init__(self, fn, call):
+        self.fn = fn
+        self.call = call
+        self.status = "suspended"
+        self._resume = _threading.Semaphore(0)
+        self._yield = _threading.Semaphore(0)
+        self._xfer = ()
+        self._err = None
+        self._thread = None
+
+    def _main(self):
+        _CO_TLS.current = self           # this thread IS the coroutine
+        self._resume.acquire()
+        try:
+            r = self.call(self.fn, list(self._xfer))
+            self._xfer = (r if isinstance(r, tuple)
+                          else () if r is None else (r,))
+        except LuaError as e:
+            self._err = str(e)
+        self.status = "dead"
+        self._yield.release()
+
+    def resume(self, *args):
+        if self.status == "dead":
+            return (False, "cannot resume dead coroutine")
+        if self.status != "suspended":
+            return (False, "cannot resume non-suspended coroutine")
+        self.status = "running"
+        self._xfer = args
+        if self._thread is None:
+            self._thread = _threading.Thread(target=self._main,
+                                             daemon=True)
+            self._thread.start()
+        self._resume.release()
+        self._yield.acquire()            # block until yield or death
+        if self.status == "dead" and self._err is not None:
+            return (False, self._err)
+        return (True,) + tuple(self._xfer)
+
+    def do_yield(self, *args):
+        self._xfer = args
+        self.status = "suspended"
+        self._yield.release()
+        self._resume.acquire()
+        self.status = "running"
+        return tuple(self._xfer)
+
+
+def _co_create(call):
+    def create(fn):
+        if not (isinstance(fn, LuaFunction) or callable(fn)):
+            raise LuaError("bad argument #1 to 'create'")
+        return LuaCoroutine(fn, call)
+    return create
+
+
+def _co_resume(co, *args):
+    if not isinstance(co, LuaCoroutine):
+        raise LuaError("bad argument #1 to 'resume' (coroutine "
+                       "expected)")
+    prev = getattr(_CO_TLS, "current", None)   # nested resume: the
+    if prev is not None:                       # resumer goes "normal"
+        prev.status = "normal"
+    r = co.resume(*args)
+    if prev is not None:
+        prev.status = "running"
+    return r
+
+
+def _co_yield(*args):
+    co = getattr(_CO_TLS, "current", None)
+    if co is None or co.status != "running":
+        raise LuaError("attempt to yield from outside a coroutine")
+    return co.do_yield(*args)
+
+
+def _co_status(co):
+    if not isinstance(co, LuaCoroutine):
+        raise LuaError("bad argument #1 to 'status'")
+    cur = getattr(_CO_TLS, "current", None)
+    return "running" if co is cur and co.status == "running" \
+        else co.status
+
+
+def _co_running():
+    return getattr(_CO_TLS, "current", None)
+
+
+def _co_wrap(call):
+    create = _co_create(call)
+
+    def wrap(fn):
+        co = create(fn)
+
+        def invoke(*args):
+            r = _co_resume(co, *args)
+            if r[0] is False:
+                raise LuaError(lua_tostring(r[1]))
+            return r[1:] if len(r) > 2 else (r[1] if len(r) == 2
+                                             else None)
+        return invoke
+    return wrap
+
+
 def _table_insert(t, a, b=None):
     if b is None:
         t.set(t.length() + 1, a)
@@ -683,6 +1213,8 @@ def _lua_type(v):
         return "string"
     if isinstance(v, LuaTable):
         return "table"
+    if isinstance(v, LuaCoroutine):
+        return "thread"
     return "function"
 
 
@@ -736,8 +1268,49 @@ class Interp:
             "\t".join(self._tostring(x) for x in a))
         self._strlib = self.g["string"]   # Lua 5.1 string metatable:
         # every string indexes into the string library (s:sub(...))
+        self._strlib.set(
+            "gsub", lambda s, p, r, n=None:
+            _string_gsub(self._call, s, p, r, n))
+        co = LuaTable()
+        co.set("create", _co_create(self._call))
+        co.set("resume", _co_resume)
+        co.set("yield", _co_yield)
+        co.set("status", _co_status)
+        co.set("running", _co_running)
+        co.set("wrap", _co_wrap(self._call))
+        self.g["coroutine"] = co
+        self.g["loadstring"] = self._loadstring
+        self.g["load"] = self._loadstring
         if bindings:
             self.g.update(bindings)
+
+    def _loadstring(self, src, chunkname=None):
+        if callable(src) or isinstance(src, LuaFunction):
+            parts = []
+            while True:
+                piece = self._call(src, [])
+                if isinstance(piece, tuple):
+                    piece = piece[0] if piece else None
+                if piece is None or piece == "":
+                    break
+                parts.append(lua_tostring(piece))
+            src = "".join(parts)
+        try:
+            ast = Parser(tokenize(lua_tostring(src))).parse_chunk()
+        except LuaError as e:
+            return (None, str(e))
+
+        def chunk(*args):
+            sc = Scope()
+            sc.vars["..."] = tuple(args)
+            try:
+                self.exec_block(ast, sc)
+            except _Return as r:
+                vs = r.values
+                return (tuple(vs) if len(vs) > 1
+                        else vs[0] if vs else None)
+            return None
+        return chunk
 
     # -- metatables (Lua 5.1 subset: __index, __newindex, __call,
     # __tostring, __eq, and the binary arithmetic/compare/concat

@@ -297,3 +297,181 @@ def test_eq_requires_same_handler():
     assert it.g["same"] is True
     assert it.g["diff"] is False
     assert it.g["bare"] is False
+
+
+# ---- round-5 stdlib widening: patterns, gsub, coroutines, load ----
+
+def test_string_find_match():
+    it = run("""
+        s = "hello world 42!"
+        a, b = string.find(s, "world")
+        c = string.match(s, "%d+")
+        d, e = string.match(s, "(%a+) (%a+)")
+        p1, p2, cap = string.find(s, "(o w)")
+        plain = string.find("a.b", ".", 1, true)
+        anch = string.find(s, "^hello")
+        noanch = string.find(s, "^world")
+        last = string.match(s, "(%d+)!$")
+        init = string.find(s, "o", 6)
+        neg = string.find(s, "o", -8)
+    """)
+    assert (it.g["a"], it.g["b"]) == (7.0, 11.0)
+    assert it.g["c"] == "42"
+    assert (it.g["d"], it.g["e"]) == ("hello", "world")
+    assert (it.g["p1"], it.g["p2"], it.g["cap"]) == (5.0, 7.0, "o w")
+    assert it.g["plain"] == 2.0          # plain: "." literal
+    assert it.g["anch"] == 1.0
+    assert it.g["noanch"] is None
+    assert it.g["last"] == "42"
+    assert it.g["init"] == 8.0
+    assert it.g["neg"] == 8.0
+
+
+def test_string_pattern_classes():
+    it = run("""
+        r = {}
+        r.set = string.match("abc123", "[%l]+")
+        r.nset = string.match("abc123", "[^%l]+")
+        r.range = string.match("XYZdef", "[a-f]+")
+        r.lazy = string.match("<a><b>", "<(.-)>")
+        r.greedy = string.match("<a><b>", "<(.*)>")
+        r.opt = string.match("color colour", "colou?r")
+        r.bal = string.match("f(a(b)c)d", "%b()")
+        r.backref = string.match("abcabc", "(abc)%1")
+        r.pos = string.match("xy", "x()y")
+        r.front = string.find("THE (quick) fox", "%f[%a]%a+")
+        r.esc = string.match("3.14", "%d%.%d+")
+    """)
+    r = it.g["r"]
+    assert r.get("set") == "abc"
+    assert r.get("nset") == "123"
+    assert r.get("range") == "def"
+    assert r.get("lazy") == "a"
+    assert r.get("greedy") == "a><b"
+    assert r.get("opt") == "color"
+    assert r.get("bal") == "(a(b)c)"
+    assert r.get("backref") == "abc"     # match returns the capture
+    assert r.get("pos") == 2.0           # position capture
+    assert r.get("front") == 1.0
+    assert r.get("esc") == "3.14"
+
+
+def test_string_gmatch():
+    it = run("""
+        words = {}
+        for w in string.gmatch("one two three", "%a+") do
+            table.insert(words, w)
+        end
+        kv = {}
+        for k, v in string.gmatch("a=1, b=2", "(%w+)=(%w+)") do
+            kv[k] = v
+        end
+        n = 0
+        for _ in ("x,y,,z"):gmatch("[^,]*") do n = n + 1 end
+    """)
+    w = it.g["words"]
+    assert [w.get(float(i)) for i in (1, 2, 3)] == ["one", "two",
+                                                    "three"]
+    assert it.g["kv"].get("a") == "1" and it.g["kv"].get("b") == "2"
+    assert it.g["n"] >= 4.0              # empty matches advance
+
+
+def test_string_gsub():
+    it = run("""
+        a, na = string.gsub("hello world", "o", "0")
+        b, nb = string.gsub("hello world", "o", "0", 1)
+        c = string.gsub("hello", "(l+)", "[%1]")
+        d = string.gsub("abc", "%a", "%0%0")
+        e = string.gsub("a-b-c", "-", "%%")
+        f = string.gsub("key=val", "(%w+)=(%w+)", "%2=%1")
+        tab = {name = "lua"}
+        g = string.gsub("$name", "%$(%w+)", tab)
+        h = string.gsub("1 2 3", "%d", function(d) return d * 2 end)
+        i = string.gsub("keep", "x", "y")
+        j = string.gsub("abc", "", "-")
+    """)
+    assert (it.g["a"], it.g["na"]) == ("hell0 w0rld", 2.0)
+    assert (it.g["b"], it.g["nb"]) == ("hell0 world", 1.0)
+    assert it.g["c"] == "he[ll]o"
+    assert it.g["d"] == "aabbcc"
+    assert it.g["e"] == "a%b%c"
+    assert it.g["f"] == "val=key"
+    assert it.g["g"] == "lua"
+    assert it.g["h"] == "2 4 6"
+    assert it.g["i"] == "keep"
+    assert it.g["j"] == "-a-b-c-"        # empty pattern between chars
+
+
+def test_coroutines():
+    it = run("""
+        co = coroutine.create(function(a, b)
+            local c = coroutine.yield(a + b)
+            local d, e = coroutine.yield(c * 2)
+            return d + e, "done"
+        end)
+        ok1, v1 = coroutine.resume(co, 3, 4)
+        st_mid = coroutine.status(co)
+        ok2, v2 = coroutine.resume(co, 10)
+        ok3, v3, v4 = coroutine.resume(co, 5, 6)
+        st_end = coroutine.status(co)
+        ok4, err = coroutine.resume(co)
+        ty = type(co)
+    """)
+    assert (it.g["ok1"], it.g["v1"]) == (True, 7.0)
+    assert it.g["st_mid"] == "suspended"
+    assert (it.g["ok2"], it.g["v2"]) == (True, 20.0)
+    assert (it.g["ok3"], it.g["v3"], it.g["v4"]) == (True, 11.0,
+                                                     "done")
+    assert it.g["st_end"] == "dead"
+    assert it.g["ok4"] is False
+    assert "dead" in it.g["err"]
+    assert it.g["ty"] == "thread"
+
+
+def test_coroutine_wrap_and_errors():
+    it = run("""
+        gen = coroutine.wrap(function()
+            for i = 1, 3 do coroutine.yield(i) end
+        end)
+        s = gen() + gen() + gen()
+        bad = coroutine.create(function() error("boom") end)
+        ok, msg = coroutine.resume(bad)
+        ok2, msg2 = pcall(function() coroutine.yield(1) end)
+    """)
+    assert it.g["s"] == 6.0
+    assert it.g["ok"] is False and "boom" in it.g["msg"]
+    # yield outside a coroutine errors (5.1 semantics)
+    assert it.g["ok2"] is False
+
+
+def test_coroutine_nested():
+    it = run("""
+        inner = coroutine.create(function()
+            coroutine.yield("i1")
+            return "i2"
+        end)
+        outer = coroutine.create(function()
+            local _, v = coroutine.resume(inner)
+            coroutine.yield("o:" .. v)
+            local _, w = coroutine.resume(inner)
+            return "o:" .. w
+        end)
+        _, a = coroutine.resume(outer)
+        _, b = coroutine.resume(outer)
+    """)
+    assert it.g["a"] == "o:i1"
+    assert it.g["b"] == "o:i2"
+
+
+def test_loadstring_os_io():
+    it = run("""
+        f = loadstring("return 1 + 2")
+        v = f()
+        bad, err = loadstring("return +")
+        t = os.time()
+        c = os.clock()
+    """)
+    assert it.g["v"] == 3.0
+    assert it.g["bad"] is None and it.g["err"]
+    assert it.g["t"] > 0
+    assert it.g["c"] >= 0
