@@ -14,15 +14,19 @@ logical ops, metatables with the 5.1 core metamethods (__index/
 __newindex chains, __call, __tostring, __eq/__lt/__le, arithmetic/
 __concat/__unm, __metatable protection), ':'-method calls and
 `function t:m()` definition sugar, string methods via ':' (s:sub(..)),
-and a stdlib subset (math.*, string.format/len/sub/rep/upper/lower/
-byte/char, table.insert/remove/concat, print, tostring, tonumber,
-type, pairs/ipairs, pcall/error/assert, unpack, select, rawget/
-rawset/rawequal, set/getmetatable).  NOT supported: coroutines,
-goto/labels, io.*/os.*, loadstring/require, string pattern matching
-(find/match/gsub), weak tables.  The reference's game.lua runs
-verbatim (tests/test_luamini.py); scripts needing the excluded
-constructs belong in the Python frontend (assets/scripts/game.py is
-the twin).
+the full Lua 5.1 pattern language (string.find/match/gmatch/gsub:
+classes, sets, captures incl. position captures, %1-%9 back-
+references, %bxy, %f[set], anchors, all quantifiers), coroutines
+(create/resume/yield/status/running/wrap), loadstring/load, and a
+stdlib subset (math.*, string.format/len/sub/rep/upper/lower/byte/
+char/reverse, table.insert/remove/concat, os.time/clock/date/getenv,
+io.write/read, print, tostring, tonumber, type, pairs/ipairs,
+pcall/error/assert, unpack, select, rawget/rawset/rawequal,
+set/getmetatable).  NOT supported: goto/labels (5.2+), require/
+module, io files beyond write/read, string.dump, weak tables/__gc,
+__len on tables.  The reference's game.lua runs verbatim
+(tests/test_luamini.py); scripts needing the excluded constructs
+belong in the Python frontend (assets/scripts/game.py is the twin).
 """
 
 from __future__ import annotations
