@@ -186,6 +186,20 @@ def flat_cell_index(cx, cz, page=None) -> jnp.ndarray:
     return idx
 
 
+def flat_cell_index_lw(cx, cz, lw: int) -> jnp.ndarray:
+    """flat_cell_index for a WIDTH-TRIMMED cell table (stride lw < 64,
+    single page).  Sound only when every column >= lw is '.'-pad
+    (worlddev derives meta.lw that way): in-bounds lanes with
+    cx >= lw are pushed past any <= 64*64-cell table (+(cx&~(lw-1))<<6
+    >= 2048 >= lw*lh), so the chunked gather misses and returns 0 ==
+    the pad byte those cells hold in the 64-stride table.  OOB lanes
+    still read cell 0 of the page, same as flat_cell_index."""
+    if lw >= 64:
+        return flat_cell_index(cx, cz, None)
+    inb = (cx >= 0) & (cx < 64) & (cz >= 0) & (cz < 64)
+    return jnp.where(inb, cz * lw + cx + ((cx & ~(lw - 1)) << 6), 0)
+
+
 def cell_index(s) -> jnp.ndarray:
     """Flat index of the lane's current cell, recomputed inside the
     rare conds that need it instead of being loop-carried."""

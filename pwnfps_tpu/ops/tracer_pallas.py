@@ -41,7 +41,8 @@ from ..core.ieee import div_rn, sqrt_rn
 from . import worlddev as W
 from .tracer_core import (CellFields, Env, Math, SegState,
                           cell_index, decode_portal_word,
-                          flat_cell_index, make_sphere_all,
+                          flat_cell_index, flat_cell_index_lw,
+                          make_sphere_all,
                           make_sphere_rel, make_sphere_view,
                           trace_wave_env,
                           xcls_compress)
@@ -100,9 +101,11 @@ def _pack4(cfg, has_clear: bool) -> bool:
     return cfg.parity or not cfg.space_skip or not has_clear
 
 
-def _cchunks(lh: int, pack4: bool = False) -> int:
-    # 64*lh cells / (2 or 4) per i32 / 128 lanes
-    return lh // 8 if pack4 else lh // 4
+def _cchunks(lh: int, pack4: bool = False, lw: int = 64) -> int:
+    # lw*lh cells / (2 or 4) per i32 / 128 lanes, rounded up (the
+    # table pads to whole chunks with 0 == miss words)
+    words = lw * lh // (4 if pack4 else 2)
+    return -(-words // 128)
 
 
 def _use_slot(pslots: int, pack4: bool) -> bool:
@@ -114,7 +117,7 @@ def _use_slot(pslots: int, pack4: bool) -> bool:
 
 def build_tables(world: W.WorldDev, meta: W.WorldMeta,
                  rows: int, parity: bool,
-                 pack4: bool = False) -> PallasTables:
+                 pack4: bool = False, lw: int = 64) -> PallasTables:
     """Per-frame device tables for the kernel (cheap jnp ops).
 
     Cell tables cover only the first meta.lh grid rows: rows beyond hold
@@ -142,8 +145,22 @@ def build_tables(world: W.WorldDev, meta: W.WorldMeta,
 
     # compact common-path entry: cls(4) | xcls2(2) | has_sph(1), plus
     # runx(4) | runz(4) unless pack4 (skip compiled out) - 2 cells per
-    # int32, or 4 7-bit entries per int32 when pack4 halves the scan
-    w = world.word[:ncell]
+    # int32, or 4 7-bit entries per int32 when pack4 halves the scan.
+    # lw < 64 (single page): re-stride to lw columns - the trimmed-out
+    # columns hold pad byte 0, which flat_cell_index_lw's pushed-past-
+    # the-table indices reproduce as gather misses (bit-exact)
+    if lw < 64 and not paged and not parity:
+        def restride(flat):
+            return flat[:4096].reshape(64, 64)[:meta.lh, :lw] \
+                .reshape(-1)
+        w = restride(world.word)
+        ncell_c = lw * meta.lh    # compact table only; the full
+        # word/mask tables keep the 64-stride ncell layout
+    else:
+        lw = 64
+        restride = None
+        w = world.word[:ncell]
+        ncell_c = ncell
     cls = W.w_cls(w)
     not_p = cls != W.PORTAL
     use_slot = _use_slot(meta.pslots, pack4)
@@ -159,7 +176,9 @@ def build_tables(world: W.WorldDev, meta: W.WorldMeta,
         slot, ptab_flat = W.portal_slot_tables(world.word,
                                                meta.n_pages,
                                                meta.pslots)
-        cent = cent | jnp.where(not_p, 0, slot[:ncell] << 7)
+        slot = (restride(slot) if restride is not None
+                else slot[:ncell_c])
+        cent = cent | jnp.where(not_p, 0, slot << 7)
         ptab = ptab_flat.reshape(-1, 128)
     else:
         ptab = jnp.zeros((1, 128), jnp.int32)
@@ -169,12 +188,15 @@ def build_tables(world: W.WorldDev, meta: W.WorldMeta,
         cent = jnp.where(cls == W.PORTAL, cent & ~jnp.int32(1 << 6),
                          cent)
     if pack4:
-        cb = cent.reshape(ncell // 4, 4)
+        cb = cent.reshape(ncell_c // 4, 4)
         cword = (cb[:, 0] | (cb[:, 1] << 8) | (cb[:, 2] << 16)
                  | (cb[:, 3] << 24))
     else:
-        cb = cent.reshape(ncell // 2, 2)
+        cb = cent.reshape(ncell_c // 2, 2)
         cword = cb[:, 0] | (cb[:, 1] << 16)
+    nw = _cchunks(meta.lh, pack4, lw) * 128 * meta.n_pages
+    if cword.shape[0] < nw:   # pad to whole chunks (0 == miss word)
+        cword = jnp.pad(cword, (0, nw - cword.shape[0]))
     cword_b = cword.reshape(-1, 128)
     if not paged:
         cword_b = jnp.repeat(cword_b, ROWS, axis=0)
@@ -269,7 +291,7 @@ _PAGE_UNIFORM = _os.environ.get("PWNFPS_PAGE_UNIFORM", "1") != "0"
 
 def _compact_fetch(cword_ref, cx, cz, rows, chunks, page=None,
                    n_pages=1, pack4=False, move=None, span_k=0,
-                   is_ref=True) -> CellFields:
+                   is_ref=True, lw=64) -> CellFields:
     """Common-path fields from the packed cell table: one chunked
     gather + sub-word extract (2 16-bit entries per i32, or 4 8-bit
     entries when pack4 - see _pack4).  Cells beyond the table (grid
@@ -345,7 +367,7 @@ def _compact_fetch(cword_ref, cx, cz, rows, chunks, page=None,
             word = scan_all(0)
         idx = idx_l
     else:
-        idx = flat_cell_index(cx, cz, None)
+        idx = flat_cell_index_lw(cx, cz, lw)
         widx = idx >> 2 if pack4 else idx >> 1
         if move is not None and span_k == -1:
             # ABLATION: pay the two per-step cross-lane reductions +
@@ -527,7 +549,8 @@ def _sphere_pass_pallas(mask_ref, sph_ref, n_spheres: int, math: Math,
     return run
 
 
-def _kernel(cfg: RenderConfig, n_spheres: int, lh: int, has_clear: bool,
+def _kernel(cfg: RenderConfig, n_spheres: int, lh: int, lw: int,
+            has_clear: bool,
             n_pages: int, sphere_page: int, pack: bool, pslots: int,
             sph_slack: float,
             word_ref, cword_ref, ptab_ref, mask_ref, sph_ref, spht_ref,
@@ -540,8 +563,9 @@ def _kernel(cfg: RenderConfig, n_spheres: int, lh: int, has_clear: bool,
 
     def fetch(cx, cz, page, move=None) -> CellFields:
         return _compact_fetch(cword_ref, cx, cz, rows,
-                              _cchunks(lh, pack4), page, n_pages,
-                              pack4, move=move, span_k=cfg.span_fetch)
+                              _cchunks(lh, pack4, lw), page, n_pages,
+                              pack4, move=move, span_k=cfg.span_fetch,
+                              lw=lw)
 
     if use_slot:
         def fetch_portal(s_):
@@ -640,11 +664,12 @@ def _kernel(cfg: RenderConfig, n_spheres: int, lh: int, has_clear: bool,
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "n_spheres", "n_rays", "lh",
-                                    "has_clear", "n_pages",
+                                    "lw", "has_clear", "n_pages",
                                     "sphere_page", "pack", "pslots",
                                     "sph_slack", "frame_hw"))
 def _trace_pallas(tables: PallasTables, cfg: RenderConfig,
-                  n_spheres: int, n_rays: int, lh: int, has_clear: bool,
+                  n_spheres: int, n_rays: int, lh: int, lw: int,
+                  has_clear: bool,
                   n_pages: int, sphere_page: int, pack: bool,
                   pslots: int, sph_slack: float,
                   fx, fy, fz, rx, ry, rz, seeds, sec, page0,
@@ -713,7 +738,7 @@ def _trace_pallas(tables: PallasTables, cfg: RenderConfig,
     grid_spec = pl.GridSpec(
         grid=(tiles,),
         in_specs=[full(word_shape),
-                  full((_cchunks(lh, _pack4(cfg, has_clear))
+                  full((_cchunks(lh, _pack4(cfg, has_clear), lw)
                         * n_pages * wrep, 128)),
                   full(ptab_shape),
                   full(mask_shape),
@@ -728,7 +753,8 @@ def _trace_pallas(tables: PallasTables, cfg: RenderConfig,
     f32s = jax.ShapeDtypeStruct(oshape, jnp.float32)
     i32s = jax.ShapeDtypeStruct(oshape, jnp.int32)
     outs = [i32s, f32s] if pack else [f32s] * 5
-    kern = functools.partial(_kernel, cfg, n_spheres, lh, has_clear,
+    kern = functools.partial(_kernel, cfg, n_spheres, lh, lw,
+                             has_clear,
                              n_pages, sphere_page, pack, pslots,
                              sph_slack)
     res = pl.pallas_call(
@@ -769,10 +795,11 @@ def trace_wave_pallas(world: W.WorldDev, meta: W.WorldMeta,
     assert meta.n_spheres <= NSPH_MAX, (
         f"pallas path supports <= {NSPH_MAX} spheres, got "
         f"{meta.n_spheres}")
+    lw = meta.lw if not cfg.parity and meta.n_pages == 1 else 64
     tables = build_tables(world, meta, _rows(cfg.parity), cfg.parity,
-                          pack4=_pack4(cfg, meta.has_clear))
+                          pack4=_pack4(cfg, meta.has_clear), lw=lw)
     n = ifrom.x.shape[0]
-    return _trace_pallas(tables, cfg, meta.n_spheres, n, meta.lh,
+    return _trace_pallas(tables, cfg, meta.n_spheres, n, meta.lh, lw,
                          meta.has_clear, meta.n_pages, meta.sphere_page,
                          pack, meta.pslots, meta.sph_slack,
                          ifrom.x, ifrom.y, ifrom.z,

@@ -96,6 +96,15 @@ class WorldMeta:
     # compact byte is 0 == the chunked-gather miss value, so trimming is
     # bit-exact (tracer_pallas.build_tables).
     lh: int = 64
+    # grid-column budget of the COMPACT cell table (64 or 32): 32 when
+    # every content/sphere column sits below 32, letting the pallas
+    # fetch re-stride the compact table to lw columns and scan HALF
+    # the gather chunks.  Columns >= lw are '.'-pad (compact byte 0)
+    # by this derivation, and the trimmed index formula maps them past
+    # the table so they read the same 0 (tracer_core.
+    # flat_cell_index_lw).  The full word/mask tables keep the
+    # 64-stride layout (rare/parity paths, not worth the re-stride).
+    lw: int = 64
     # pages in the world atlas (1 = the reference's single 64x64 grid)
     n_pages: int = 1
     # page of every sphere (paged worlds keep all spheres on one page;
@@ -304,7 +313,15 @@ def build_world(level: LevelData, spheres: SphereSet, tables: SseTables,
     last = max(int(grid_rows.max()) if grid_rows.size else 0,
                int(cnt_rows.max()) if cnt_rows.size else 0)
     lh = min(64, -(-(last + 1) // 8) * 8)
-    return dev, WorldMeta(k_bucket=k_needed, n_spheres=max(n, 0), lh=lh,
+    # column extent the same way (spheres included via the bucket
+    # counts): lw=32 halves the pallas compact-fetch chunk scan
+    grid_cols = np.nonzero((level.grid != ord(".")).any(axis=0))[0]
+    cnt_cols = np.nonzero(counts.reshape(64, 64).any(axis=0))[0]
+    lastc = max(int(grid_cols.max()) if grid_cols.size else 0,
+                int(cnt_cols.max()) if cnt_cols.size else 0)
+    lw = 32 if lastc < 32 else 64
+    return dev, WorldMeta(k_bucket=k_needed, n_spheres=max(n, 0),
+                          lh=lh, lw=lw,
                           has_clear=bool(runs.any()),
                           pslots=_pslot_capacity(word, 1),
                           sph_slack=sph_slack)

@@ -75,7 +75,8 @@ def build(nospheres: bool, noskip: bool, chunk: int):
     has_clear = meta.has_clear and not noskip
     rows = TP._rows(False)
     pack4 = TP._pack4(cfg, has_clear)
-    tabs = TP.build_tables(world, meta, rows, False, pack4)
+    tabs = TP.build_tables(world, meta, rows, False, pack4,
+                           lw=meta.lw)
 
     # --- the _kernel Env, verbatim, with jnp arrays standing in for refs
     n_spheres = meta.n_spheres
@@ -83,9 +84,10 @@ def build(nospheres: bool, noskip: bool, chunk: int):
 
     def fetch(cx, cz, page, move=None):
         return TP._compact_fetch(tabs.cword, cx, cz, rows,
-                                 TP._cchunks(lh, pack4), page, 1, pack4,
+                                 TP._cchunks(lh, pack4, meta.lw),
+                                 page, 1, pack4,
                                  move=move, span_k=cfg.span_fetch,
-                                 is_ref=False)
+                                 is_ref=False, lw=meta.lw)
 
     if TP._use_slot(meta.pslots, pack4):
         def fetch_portal(s_):
