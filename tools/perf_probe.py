@@ -62,6 +62,9 @@ def main() -> int:
                     help="tile pixel-rectangle BHxBW (e.g. 8x1024; "
                          "default 64x128)")
     ap.add_argument("--maxsteps", type=int, default=1000)
+    ap.add_argument("--lw64", action="store_true",
+                    help="force the 64-column compact cell table "
+                         "(disable the WorldMeta.lw width trim)")
     args = ap.parse_args()
 
     import jax
@@ -96,6 +99,9 @@ def main() -> int:
                             0.8, 0.7, 0.9)
     sph = pool.prepare_render()
     world, meta = W.build_world(lv, sph, SseTables.load())
+    if args.lw64:
+        import dataclasses
+        meta = dataclasses.replace(meta, lw=64)
     world = jax.tree.map(jnp.asarray, world)
     cfg = RenderConfig(width=width, height=height, parity=False,
                        backend="pallas", step_chunk=args.chunk,
