@@ -45,13 +45,32 @@ def main() -> int:
         print(json.dumps({"scene": "maze", **bench_maze()}))
         return 0
 
-    for blur in args.blur:
-        for refl in args.reflects:
-            render = mk(refl, blur)
-            out = _time_frames(render, n=args.frames,
-                               rays_per_frame=1280 * 720)
-            out.update(scene=args.scene, reflect=refl, blur=blur)
-            print(json.dumps(out), flush=True)
+    # Interleave the cells round-robin across reps: the relay's
+    # multi-ms dispatch drift (docs/PERFORMANCE.md header) confounds
+    # sequentially-timed cells (a first attempt measured blur=0 SLOWER
+    # than blur=1 on the same scene), but it moves slowly, so sampling
+    # the cells in rotation puts the same drift in every cell.
+    import time
+
+    import numpy as np
+
+    cells = [(refl, blur) for blur in args.blur for refl in args.reflects]
+    renders = {c: mk(*c) for c in cells}
+    for c in cells:  # compile + warm
+        np.asarray(renders[c](0)[0, 0])
+    ts = {c: [] for c in cells}
+    for k in range(args.frames):
+        for c in cells:
+            t0 = time.perf_counter()
+            fb = renders[c](k + 1)
+            np.asarray(fb[0, 0])
+            ts[c].append(time.perf_counter() - t0)
+    for c in cells:
+        a = np.array(ts[c]) * 1e3
+        out = dict(scene=args.scene, reflect=c[0], blur=c[1],
+                   ms_mean=float(a.mean()), ms_p50=float(np.percentile(a, 50)),
+                   ms_min=float(a.min()), fps=float(1e3 / a.mean()))
+        print(json.dumps(out), flush=True)
     return 0
 
 
