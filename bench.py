@@ -13,7 +13,32 @@ import time
 import numpy as np
 
 
+def _wait_for_chip() -> None:
+    """Bounded pre-flight: the axon tunnel can drop for stretches
+    (docs/PERFORMANCE.md header; CLAUDE.md gotchas), and a dead tunnel
+    makes the jax import below HANG rather than fail.  Probe it in a
+    timeout-guarded subprocess and wait-retry up to PWNFPS_BENCH_WAIT
+    seconds (default 900) before proceeding; on budget exhaustion fall
+    through to the old behavior and let the caller's timeout govern."""
+    import subprocess
+    budget = float(os.environ.get("PWNFPS_BENCH_WAIT", "900"))
+    probe_src = ("import jax, numpy as np;"
+                 "x = jax.numpy.ones((8, 128)) * 2;"
+                 "assert np.asarray(x)[0, 0] == 2.0")
+    t0 = time.time()
+    while True:
+        try:
+            rc = subprocess.run([sys.executable, "-c", probe_src],
+                                timeout=100, capture_output=True).returncode
+        except subprocess.TimeoutExpired:
+            rc = -1
+        if rc == 0 or time.time() - t0 > budget:
+            return
+        time.sleep(60)
+
+
 def main() -> int:
+    _wait_for_chip()
     import jax
     import jax.numpy as jnp
 
