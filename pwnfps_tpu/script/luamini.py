@@ -13,7 +13,8 @@ match/gmatch/gsub with classes, sets, captures incl. position captures,
 %1-%9 back-references, %bxy, %f[set], anchors, all four quantifiers),
 coroutines (create/resume/yield/status/running/wrap; thread-backed,
 one runner at a time), loadstring/load, os.time/clock/date/getenv,
-io.write/read, table.insert/remove/concat, print, tostring, tonumber,
+io.write/read, table.insert/remove/concat/sort/getn, print, tostring,
+tonumber,
 type, pairs/ipairs, pcall, error, assert, unpack, select, raw*),
 metatables
 (set/getmetatable with the 5.1 core metamethods: __index/__newindex
@@ -546,6 +547,8 @@ def _stdlib():
     tt.set("insert", _table_insert)
     tt.set("remove", _table_remove)
     tt.set("concat", _table_concat)
+    tt.set("getn", lambda t: float(t.length()))
+    # table.sort is installed by Interp (comparators need _call)
 
     g = {
         "math": mt, "string": st, "table": tt, "os": ot, "io": it,
@@ -1191,6 +1194,47 @@ def _table_concat(t, sep=""):
     return sep.join(lua_tostring(t.get(k)) for k in range(1, n + 1))
 
 
+def _table_sort(call, t, comp=None):
+    """table.sort (5.1): in-place ascending sort of the array part
+    1..#t.  A comparator runs through the interpreter's _call (the
+    string.gsub function-repl pattern); without one the default order
+    is Lua's `<` (numbers, strings, or an element __lt metamethod),
+    and mixed types raise like 5.1.  Unlike 5.1's quicksort this
+    never raises 'invalid order function' on inconsistent
+    comparators - Python's stable sort just produces some order."""
+    import functools
+    n = int(t.length())
+    vals = [t.get(k) for k in range(1, n + 1)]
+
+    def lt(a, b):
+        if comp is not None:
+            r = call(comp, [a, b])
+            return _truthy(r[0] if isinstance(r, tuple) else r)
+        for v in (a, b):
+            if isinstance(v, LuaTable) and v.mt is not None:
+                h = v.mt.get("__lt")
+                if h is not None:
+                    r = call(h, [a, b])
+                    return _truthy(r[0] if isinstance(r, tuple) else r)
+        if isinstance(a, str) and isinstance(b, str):
+            return a < b
+        if isinstance(a, float) and isinstance(b, float):
+            return a < b
+        raise LuaError("attempt to compare %s with %s"
+                       % (_lua_type(a), _lua_type(b)))
+
+    def cmp(a, b):
+        if lt(a, b):
+            return -1
+        if lt(b, a):
+            return 1
+        return 0
+
+    vals.sort(key=functools.cmp_to_key(cmp))
+    for k, v in enumerate(vals):
+        t.set(k + 1, v)
+
+
 def _tonumber(v, base=None):
     try:
         if base is not None:
@@ -1271,6 +1315,8 @@ class Interp:
         self._strlib.set(
             "gsub", lambda s, p, r, n=None:
             _string_gsub(self._call, s, p, r, n))
+        self.g["table"].set(
+            "sort", lambda t, c=None: _table_sort(self._call, t, c))
         co = LuaTable()
         co.set("create", _co_create(self._call))
         co.set("resume", _co_resume)

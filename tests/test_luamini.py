@@ -475,3 +475,31 @@ def test_loadstring_os_io():
     assert it.g["bad"] is None and it.g["err"]
     assert it.g["t"] > 0
     assert it.g["c"] >= 0
+
+
+def test_table_sort_and_getn():
+    it = run("""
+        t = {5, 2, 9, 1}
+        table.sort(t)
+        asc = table.concat(t, ",")
+        table.sort(t, function(a, b) return a > b end)
+        desc = table.concat(t, ",")
+        s = {"pear", "apple", "fig"}
+        table.sort(s)
+        words = table.concat(s, " ")
+        n = table.getn(t)
+        -- element __lt drives the default order
+        V = {__lt = function(a, b) return a.x < b.x end}
+        m = {setmetatable({x = 3}, V), setmetatable({x = 1}, V),
+             setmetatable({x = 2}, V)}
+        table.sort(m)
+        mx = m[1].x .. m[2].x .. m[3].x
+        -- mixed types raise like 5.1
+        ok = pcall(table.sort, {1, "a"})
+    """)
+    assert it.g["asc"] == "1,2,5,9"
+    assert it.g["desc"] == "9,5,2,1"
+    assert it.g["words"] == "apple fig pear"
+    assert it.g["n"] == 4.0
+    assert it.g["mx"] == "123"
+    assert it.g["ok"] is False
