@@ -130,7 +130,7 @@ def main() -> int:
     # run the whole frame set several times and report the best run:
     # this environment's relay adds multi-ms dispatch jitter that a
     # single pass would average into the device number
-    reps = int(os.environ.get("PWNFPS_BENCH_REPS", "3"))
+    reps = int(os.environ.get("PWNFPS_BENCH_REPS", "5"))
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
