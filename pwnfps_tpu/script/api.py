@@ -19,7 +19,7 @@ classes, sets, captures incl. position captures, %1-%9 back-
 references, %bxy, %f[set], anchors, all quantifiers), coroutines
 (create/resume/yield/status/running/wrap), loadstring/load, and a
 stdlib subset (math.*, string.format/len/sub/rep/upper/lower/byte/
-char/reverse, table.insert/remove/concat/sort/getn, os.time/clock/date/getenv,
+char/reverse, table.insert/remove/concat/sort/getn/foreach(i), os.time/clock/date/getenv,
 io.write/read, print, tostring, tonumber, type, pairs/ipairs,
 pcall/error/assert, unpack, select, rawget/rawset/rawequal,
 set/getmetatable).  NOT supported: goto/labels (5.2+), require/

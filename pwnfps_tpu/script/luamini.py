@@ -13,7 +13,7 @@ match/gmatch/gsub with classes, sets, captures incl. position captures,
 %1-%9 back-references, %bxy, %f[set], anchors, all four quantifiers),
 coroutines (create/resume/yield/status/running/wrap; thread-backed,
 one runner at a time), loadstring/load, os.time/clock/date/getenv,
-io.write/read, table.insert/remove/concat/sort/getn, print, tostring,
+io.write/read, table.insert/remove/concat/sort/getn/foreach(i), print, tostring,
 tonumber,
 type, pairs/ipairs, pcall, error, assert, unpack, select, raw*),
 metatables
@@ -1194,6 +1194,28 @@ def _table_concat(t, sep=""):
     return sep.join(lua_tostring(t.get(k)) for k in range(1, n + 1))
 
 
+def _table_foreach(call, t, f):
+    """table.foreach (5.1-era, deprecated but common in 2014 scripts):
+    call f(k, v) over all pairs; a non-nil return stops and returns."""
+    for k, v in list(t.hash.items()):
+        r = call(f, [float(k) if isinstance(k, int) else k, v])
+        r = r[0] if isinstance(r, tuple) else r
+        if r is not None:
+            return r
+    return None
+
+
+def _table_foreachi(call, t, f):
+    """table.foreachi: f(i, v) over 1..#t, stopping on non-nil."""
+    n = int(t.length())
+    for i in range(1, n + 1):
+        r = call(f, [float(i), t.get(i)])
+        r = r[0] if isinstance(r, tuple) else r
+        if r is not None:
+            return r
+    return None
+
+
 def _table_sort(call, t, comp=None):
     """table.sort (5.1): in-place ascending sort of the array part
     1..#t.  A comparator runs through the interpreter's _call (the
@@ -1317,6 +1339,10 @@ class Interp:
             _string_gsub(self._call, s, p, r, n))
         self.g["table"].set(
             "sort", lambda t, c=None: _table_sort(self._call, t, c))
+        self.g["table"].set(
+            "foreach", lambda t, f: _table_foreach(self._call, t, f))
+        self.g["table"].set(
+            "foreachi", lambda t, f: _table_foreachi(self._call, t, f))
         co = LuaTable()
         co.set("create", _co_create(self._call))
         co.set("resume", _co_resume)

@@ -503,3 +503,20 @@ def test_table_sort_and_getn():
     assert it.g["n"] == 4.0
     assert it.g["mx"] == "123"
     assert it.g["ok"] is False
+
+
+def test_table_foreach():
+    it = run("""
+        acc = 0
+        table.foreachi({3, 4, 5}, function(i, v) acc = acc + i * v end)
+        -- non-nil return stops the walk and propagates
+        hit = table.foreachi({7, 8, 9}, function(i, v)
+            if v == 8 then return i end
+        end)
+        keys = 0
+        table.foreach({a = 1, b = 2, c = 3},
+                      function(k, v) keys = keys + v end)
+    """)
+    assert it.g["acc"] == 1 * 3 + 2 * 4 + 3 * 5
+    assert it.g["hit"] == 2.0
+    assert it.g["keys"] == 6.0
